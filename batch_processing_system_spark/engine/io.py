@@ -1,0 +1,47 @@
+"""Parquet table access for the driver-generated testdata layout.
+
+TESTDATA.md: ``/root/testdata/sf{0.001,0.01,0.1}/<table>.parquet``.
+At 100 TB these would be partitioned/bucketed table roots instead of
+single files; the loader only cares about the root, so the layout can
+change underneath without touching any query code.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md), which Spark 4
+        # rejects by default. Read nanos as BIGINT and truncate to µs —
+        # exactly what DuckDB's TIMESTAMP_NS→µs comparisons do (SURVEY §2.5
+        # D6). Runtime-settable, so it works under the driver's session too.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)

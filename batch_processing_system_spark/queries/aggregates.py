@@ -1,0 +1,172 @@
+"""Aggregation operators (SURVEY §2.2 A1-A7): distinct counts, grouped
+multi-measure hash aggregation, rollup/cube, collect_list, approx sketches.
+
+Reference grounding: the spec's model-consistency check is a global
+distinct-aggregate over JSONL lines (/root/reference/README.md:61,45) and
+its validation/report surface needs per-type group counts
+(/root/reference/README.md:43-52,120,156).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine.det import bcount, davg, dsum
+from ..engine.io import load_table
+from . import register
+
+
+@register(
+    "q16",
+    "SELECT COUNT(DISTINCT o_orderstatus) AS n FROM orders",
+    doc="A1 global distinct-count — the spec's single-model check "
+    "(/root/reference/README.md:61) generalized.",
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(F.countDistinct("o_orderstatus").alias("n"))
+
+
+@register(
+    "q17",
+    "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type",
+    doc="A2 group-by count — validation errors per type "
+    "(/root/reference/README.md:43-52).",
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(bcount("cnt"))
+
+
+@register(
+    "q18",
+    """
+    SELECT l_returnflag,
+           l_linestatus,
+           COUNT(*) AS count_order,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(AVG(CAST(l_discount AS DECIMAL(18,2))), 4) AS DOUBLE) AS avg_disc
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="A3 multi-measure hash aggregation, TPC-H Q1-shape; the flagship "
+    "query. DECIMAL(18,2) accumulation per SURVEY §2.5 D1. Catalyst plans "
+    "partial+final HashAggregate with map-side combine — the plan that "
+    "scales to 100 TB (one shuffle on the 2-key group).",
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            bcount("count_order"),
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            davg("l_discount", "avg_disc"),
+        )
+    )
+
+
+@register(
+    "q19",
+    "SELECT source, COUNT(DISTINCT lang) AS n_langs FROM documents GROUP BY source",
+    doc="A4 distinct aggregate per group.",
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(F.countDistinct("lang").alias("n_langs"))
+
+
+@register(
+    "q20",
+    """
+    SELECT r_name, n_name,
+           COUNT(c_custkey) AS n_cust,
+           CAST(GROUPING(r_name) AS BIGINT) AS g_r,
+           CAST(GROUPING(n_name) AS BIGINT) AS g_n
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="A5 ROLLUP with GROUPING flags over region⋈nation⋈customer "
+    "(both dims broadcast — no shuffle for the joins at any scale).",
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region, nation, customer = (
+        load_table(spark, sf_dir, t) for t in ("region", "nation", "customer")
+    )
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("c_custkey").alias("n_cust"),
+        F.grouping("r_name").cast("bigint").alias("g_r"),
+        F.grouping("n_name").cast("bigint").alias("g_n"),
+    )
+
+
+@register(
+    "q21",
+    """
+    SELECT event_type, user_id % 5 AS bucket, COUNT(*) AS cnt
+    FROM events
+    GROUP BY CUBE (event_type, user_id % 5)
+    """,
+    doc="A5 CUBE over (event_type, user_id%5).",
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("bucket", F.col("user_id") % 5)
+        .cube("event_type", "bucket")
+        .agg(bcount("cnt"))
+    )
+
+
+@register(
+    "q22",
+    """
+    SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys
+    FROM orders GROUP BY o_custkey
+    """,
+    doc="A7 collect_list assembling event_response-style arrays "
+    "(/root/reference/README.md:100,130-137); array_sort for D8 determinism.",
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys")
+    )
+
+
+@register(
+    "q35",
+    None,  # tier-2: sketch outputs are not oracle-hashable (SURVEY §2.4)
+    doc="A6 approx_count_distinct + percentile_approx — the 100 TB "
+    "exploration path (HLL + KLL-style sketches, no exact shuffle).",
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("p50_value"),
+    )
+
+
+@register(
+    "q44",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(ROUND(AVG(CAST(n_chars AS DECIMAL(18,2))), 4) AS DOUBLE) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="X4 text stats per language (north-star text analysis).",
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(bcount("n_docs"), davg("n_chars", "avg_chars"))

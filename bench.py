@@ -1,0 +1,64 @@
+"""Benchmark harness (SURVEY §7 M5): runs the query catalog at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock across all catalog queries (each
+executed to completion via a count-collect, so every shuffle/agg/join in
+the plan actually runs; results are not materialized to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from batch_processing_system_spark.engine.session import get_spark
+from batch_processing_system_spark.queries import REGISTRY, _ensure_loaded
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    _ensure_loaded()
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen path once so per-query numbers measure the
+    # engine, not first-touch classloading.
+    next(iter(REGISTRY.values())).fn(spark, sf_dir).count()
+
+    per_query: dict[str, float] = {}
+    for name in sorted(REGISTRY):
+        spec = REGISTRY[name]
+        t0 = time.time()
+        try:
+            df = spec.fn(spark, sf_dir)
+            df.count()
+            per_query[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # record, don't abort the whole bench
+            per_query[name] = -1.0
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+
+    total = round(sum(v for v in per_query.values() if v >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
