@@ -1,1 +1,58 @@
-"""Placeholder — filled in by later milestones."""
+"""Nested/JSON extraction and schema conformance (SURVEY §2.2 F5-F6,
+§2.3 C1/C6).
+
+Reference grounding: the spec's core extraction is
+``response.body.choices[0].message.content`` from result JSONL
+(/root/reference/README.md:98) followed by validation against a
+user-supplied JSON Schema (:99). The events table's ``props`` JSON
+column stands in for the open-shaped payloads.
+
+The full JSON-Schema machinery (StructType compiler + vectorized
+validator UDF) lives in ``functions/json_schema.py``; q06 is its
+SQL-expressible subset so it stays tier-1 hash-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine.io import load_table
+from . import register
+
+
+@register(
+    "q05",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+    doc="F5/C1 nested JSON extraction — get_json_object on the open "
+    "payload; JVM-side Jackson parse, no Python. (The spec's "
+    "choices[0].message.content path, /root/reference/README.md:98.)",
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    )
+
+
+@register(
+    "q06",
+    """
+    SELECT event_id, TRUE AS valid
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) BETWEEN 0 AND 50
+    """,
+    doc="F6 schema-conformance predicate (expressible subset) — the "
+    "user-contract check compiled to native predicates "
+    "(/root/reference/README.md:99); features beyond from_json go "
+    "through the validator UDF (functions/json_schema.py, U1).",
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return events.filter(k.between(0, 50)).select(
+        "event_id", F.lit(True).alias("valid")
+    )
