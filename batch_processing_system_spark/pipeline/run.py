@@ -1,0 +1,178 @@
+"""Pipeline orchestration (/root/reference/README.md:71-110; SURVEY
+§3.1-3.3): submission, the periodic poll cycle, and result processing,
+wired together around an injectable remote client.
+
+The reference's external boundaries (OpenAI HTTP, MongoDB) are
+abstracted as:
+- ``remote``: an object with ``upload(path)->file_id``,
+  ``create_batch(file_id)->batch_id``, ``retrieve(batch_id)->status``,
+  ``download(file_id)->path`` — tests inject a deterministic fake.
+- ``store``: load/save DataFrames for the jobs table and target
+  collection (parquet snapshots here; any connector at deployment).
+
+T1 (the 5-minute scheduler, :81,145) is ``run_poll_cycle`` invoked by
+whatever cadence the deployment chooses; T3 (retry w/ exponential
+backoff, :84,146,161) wraps every remote call.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .process import process_results
+from .state import active_jobs, apply_poll_results, new_job_row
+from .validate import validate_submission
+
+logger = logging.getLogger("batch_processing_system_spark.pipeline")
+
+
+def _json_log(level: str, event: str, message: str, **context: Any) -> None:
+    """S7: structured JSON log events with the spec's mandatory fields
+    (/root/reference/README.md:150-156)."""
+    rec = {
+        "timestamp": datetime.now(timezone.utc).isoformat(),
+        "level": level,
+        "event": event,
+        "message": message,
+        **{k: v for k, v in context.items() if v is not None},
+    }
+    logger.log(getattr(logging, level, logging.INFO), json.dumps(rec))
+
+
+def with_retry(
+    fn: Callable[[], Any],
+    max_attempts: int = 3,
+    base_delay: float = 1.0,
+    sleep: Callable[[float], None] = time.sleep,
+) -> Any:
+    """T3: ≤3 attempts with exponential backoff 2^n
+    (/root/reference/README.md:84,146,161). On persistent failure the
+    exception propagates — the caller logs and skips, and the next
+    scheduled cycle retries (:84 'relying on the next scheduled run')."""
+    last: Exception | None = None
+    for attempt in range(max_attempts):
+        try:
+            return fn()
+        except Exception as exc:  # noqa: BLE001 — boundary retry wrapper
+            last = exc
+            if attempt < max_attempts - 1:
+                delay = base_delay * (2**attempt)
+                _json_log(
+                    "WARN", "retry", f"attempt {attempt + 1} failed: {exc}; retrying in {delay}s"
+                )
+                sleep(delay)
+    raise last  # type: ignore[misc]
+
+
+@dataclass
+class SubmissionOutcome:
+    job_id: str | None
+    jobs: DataFrame | None  # state rows to append (None on 400)
+    errors: list[dict]  # structured validation errors (400 body)
+    marked_docs: DataFrame | None  # docs snapshot with in_progress marks
+
+
+def submit_batch(
+    spark: SparkSession,
+    jsonl_path: str,
+    output_schema_json: str,
+    docs: DataFrame,
+    remote,
+    job_id: str,
+    now,
+    collection_name: str = "documents",
+    mongodb_uri: str = "store://test",
+) -> SubmissionOutcome:
+    """§3.1: validate → upload → create batch → persist job row →
+    mark targeted docs in_progress → 202/400."""
+    result = validate_submission(spark, jsonl_path, output_schema_json, docs)
+    errors = [r.asDict() for r in result.errors.collect()]
+    if errors:
+        _json_log("ERROR", "submission_rejected", "validation failed", job_id=job_id)
+        return SubmissionOutcome(None, None, errors, None)
+
+    input_file_id = with_retry(lambda: remote.upload(jsonl_path))
+    batch_id = with_retry(lambda: remote.create_batch(input_file_id))
+    jobs = new_job_row(
+        spark,
+        job_id,
+        batch_id,
+        input_file_id,
+        output_schema_json,
+        mongodb_uri,
+        collection_name,
+        result.model or "",
+        now,
+    )
+
+    # §3.1 step 6 — $set ai_status='in_progress' on each targeted doc
+    # (/root/reference/README.md:77), as a semi-join-driven rebuild.
+    targeted = result.valid_requests.select(F.col("custom_id").alias("t_id")).distinct()
+    marked = (
+        docs.join(targeted, docs["_id"] == F.col("t_id"), "left")
+        .withColumn(
+            "ai_status",
+            F.when(F.col("t_id").isNotNull(), F.lit("in_progress")).otherwise(
+                F.col("ai_status")
+            ),
+        )
+        .drop("t_id")
+    )
+    _json_log("INFO", "submission_accepted", "batch submitted", job_id=job_id,
+              openai_batch_id=batch_id)
+    return SubmissionOutcome(job_id, jobs, [], marked)
+
+
+def run_poll_cycle(
+    spark: SparkSession,
+    jobs: DataFrame,
+    docs: DataFrame,
+    remote,
+    now,
+) -> tuple[DataFrame, DataFrame]:
+    """§3.2 + §3.3: one T1 tick. Polls every active job (F3 selection),
+    applies F4 transitions, and for remotely-completed jobs runs result
+    processing + upsert. Returns (new_jobs, new_docs).
+
+    The per-job remote fetch is a driver-side boundary exactly as in the
+    reference (:83) — job counts are thousands, not billions; the DATA
+    parallelism lives inside process_results.
+    """
+    act = [r.asDict() for r in active_jobs(jobs).collect()]
+    polled_rows: list[tuple[str, str]] = []
+    for job in act:
+        try:
+            status = with_retry(lambda j=job: remote.retrieve(j["openai_batch_id"]))
+        except Exception as exc:  # persistent failure: log, skip (:84)
+            _json_log("ERROR", "poll_failed", str(exc), job_id=job["_id"],
+                      openai_batch_id=job["openai_batch_id"])
+            continue
+        polled_rows.append((job["_id"], status))
+
+    if polled_rows:
+        polled = spark.createDataFrame(polled_rows, "_id string, openai_status string")
+        jobs = apply_poll_results(jobs, polled, now)
+
+    # §3.3 for each job whose remote status just became 'completed'.
+    for job_id, status in polled_rows:
+        if status != "completed":
+            continue
+        job = next(j for j in act if j["_id"] == job_id)
+        out_path, err_path = remote.result_files(job["openai_batch_id"])
+        docs, _ = process_results(
+            spark, docs, out_path, err_path, job["output_schema_json"], now
+        )
+        jobs = jobs.withColumn(
+            "status",
+            F.when(F.col("_id") == job_id, F.lit("completed")).otherwise(F.col("status")),
+        )
+        _json_log("INFO", "job_completed", "results processed", job_id=job_id)
+    return jobs, docs

@@ -1,0 +1,144 @@
+"""Record schemas of the reference's dataflow (FIXTURES.md B1-B6).
+
+Each StructType cites the spec lines it was read from; these are the
+fixed contracts the pipeline modules share.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# B1 — batch request line (/root/reference/README.md:57-61). ``body`` keeps
+# the constrained field (model) typed and the open remainder as raw JSON.
+REQUEST_LINE_SCHEMA = T.StructType(
+    [
+        T.StructField("custom_id", T.StringType()),
+        T.StructField("method", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField(
+            "body",
+            T.StructType(
+                [
+                    T.StructField("model", T.StringType()),
+                    T.StructField("messages", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+# B2 — batch result line (/root/reference/README.md:93-103): response XOR error.
+RESULT_LINE_SCHEMA = T.StructType(
+    [
+        T.StructField("custom_id", T.StringType()),
+        T.StructField(
+            "response",
+            T.StructType(
+                [
+                    T.StructField(
+                        "body",
+                        T.StructType(
+                            [
+                                T.StructField(
+                                    "choices",
+                                    T.ArrayType(
+                                        T.StructType(
+                                            [
+                                                T.StructField(
+                                                    "message",
+                                                    T.StructType(
+                                                        [T.StructField("content", T.StringType())]
+                                                    ),
+                                                )
+                                            ]
+                                        )
+                                    ),
+                                )
+                            ]
+                        ),
+                    )
+                ]
+            ),
+        ),
+        T.StructField(
+            "error",
+            T.StructType(
+                [
+                    T.StructField("code", T.StringType()),
+                    T.StructField("message", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+# B3 — batch_jobs state row (/root/reference/README.md:114-127).
+BATCH_JOB_SCHEMA = T.StructType(
+    [
+        T.StructField("_id", T.StringType()),
+        T.StructField("openai_batch_id", T.StringType()),
+        T.StructField("input_file_id", T.StringType()),
+        T.StructField("output_file_id", T.StringType()),
+        T.StructField("error_file_id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("openai_status", T.StringType()),
+        T.StructField("output_schema_json", T.StringType()),
+        T.StructField("mongodb_uri", T.StringType()),
+        T.StructField("collection_name", T.StringType()),
+        T.StructField("model", T.StringType()),
+        T.StructField("created_at", T.TimestampType()),
+        T.StructField("updated_at", T.TimestampType()),
+    ]
+)
+
+# B4 — target document (/root/reference/README.md:129-138).
+EVENT_RESPONSE_ITEM = T.StructType(
+    [
+        T.StructField("event_response", T.StringType()),
+        T.StructField("updated", T.TimestampType()),
+    ]
+)
+DOCUMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("_id", T.StringType()),
+        T.StructField("ai_status", T.StringType()),
+        T.StructField("event_response", T.ArrayType(EVENT_RESPONSE_ITEM)),
+        T.StructField("payload", T.StringType()),
+    ]
+)
+
+# B5 — structured log event (/root/reference/README.md:152-156).
+LOG_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("level", T.StringType()),
+        T.StructField("event", T.StringType()),
+        T.StructField("message", T.StringType()),
+        T.StructField("job_id", T.StringType()),
+        T.StructField("openai_batch_id", T.StringType()),
+        T.StructField("custom_id", T.StringType()),
+        T.StructField("context", T.StringType()),
+    ]
+)
+
+# B6 — validation error record (/root/reference/README.md:41-52).
+VALIDATION_ERROR_SCHEMA = T.StructType(
+    [
+        T.StructField("type", T.StringType()),
+        T.StructField("line", T.LongType()),
+        T.StructField("message", T.StringType()),
+        T.StructField("context", T.StringType()),
+    ]
+)
+
+# Internal job status machine (/root/reference/README.md:120) and the
+# OpenAI-status → internal transition map (:86-110).
+INTERNAL_STATUSES = ("submitted", "processing", "completed", "failed")
+TERMINAL_REMOTE = {
+    "completed": "processing",  # completed remotely → we start processing results
+    "failed": "failed",
+    "expired": "failed",
+    "cancelled": "failed",
+    "cancelling": "failed",
+}
+TRANSIENT_REMOTE = ("validating", "in_progress", "finalizing")
