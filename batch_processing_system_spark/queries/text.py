@@ -34,3 +34,181 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@register(
+    "q45_dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="X1 exact content dedup — hash-groupBy on the full text, keeping "
+    "the minimum doc_id as the canonical survivor. At 100 TB the "
+    "group key is the 128-bit digest (shuffle ships 16 bytes + id, "
+    "never the document body).",
+)
+def q45_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(F.encode("text", "UTF-8")).alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@register(
+    "q46_neardup_jaccard",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS shingle
+           FROM w, UNNEST(generate_series(1, len(ws) - 4)) AS t(i)),
+    n AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_id_a, doc_id_b, n_common
+    FROM inter
+    JOIN n na ON doc_id_a = na.doc_id
+    JOIN n nb ON doc_id_b = nb.doc_id
+    WHERE 10 * n_common >= 6 * (na.nsh + nb.nsh - n_common)
+    """,
+    doc="X2 exact n-gram Jaccard near-dup (tier-1!) — 5-word shingles, "
+    "inverted-index self-join for intersections, Jaccard ≥ 0.6 decided "
+    "by integer cross-multiplication (no float in the predicate, §2.5 "
+    "D7). Candidate pairs come only from shared shingles — the shingle "
+    "width is the selectivity dial; hot shingles would be dropped by "
+    "document frequency at real scale (the MinHash twin q42 replaces "
+    "this wholesale at 100 TB).",
+)
+def q46_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs, n=5)
+    n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingle").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingle").alias("sh_b"))
+    inter = (
+        a.join(b, (F.col("sh_a") == F.col("sh_b")) & (F.col("doc_id_a") < F.col("doc_id_b")))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = n.select(F.col("doc_id").alias("doc_id_a"), F.col("nsh").alias("nsh_a"))
+    nb = n.select(F.col("doc_id").alias("doc_id_b"), F.col("nsh").alias("nsh_b"))
+    return (
+        inter.join(na, "doc_id_a")
+        .join(nb, "doc_id_b")
+        .filter(10 * F.col("n_common") >= 6 * (F.col("nsh_a") + F.col("nsh_b") - F.col("n_common")))
+        .select("doc_id_a", "doc_id_b", "n_common")
+    )
+
+
+@register(
+    "q47_quality",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+               len(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS n_uniq,
+               n_chars
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(CAST(n_uniq AS DOUBLE) / n_tokens, 4) AS uniq_ratio,
+           ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS avg_token_span
+    FROM t
+    """,
+    doc="X4 quality scoring — token count, type/token ratio, mean token "
+    "span: the standard cheap filters of a training-data pipeline, all "
+    "single-pass array expressions (no explode, no shuffle at all).",
+)
+def q47_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    t = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        "n_chars",
+    )
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("n_uniq").cast("double") / F.col("n_tokens"), 4).alias("uniq_ratio"),
+        F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 4).alias("avg_token_span"),
+    )
+
+
+@register(
+    "q48_tokens",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_btokens
+    FROM documents
+    """,
+    doc="X4 BPE-ish token counting — regex token classes (letter runs, "
+    "digit runs, single punctuation) via regexp_extract_all; the "
+    "pattern uses only character classes so Java and RE2 dialects "
+    "agree. Pure map-side, no shuffle.",
+)
+def q48_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+        .cast("bigint")
+        .alias("n_btokens"),
+    )
+
+
+@register(
+    "q49_fingerprint",
+    """
+    SELECT doc_id, MIN(md5(word)) AS fingerprint
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY doc_id
+    """,
+    doc="X4 document fingerprinting — 1-permutation MinHash: the minimum "
+    "token digest is a locality-sensitive signature (equal fingerprints "
+    "⇒ likely-overlapping token sets). md5 because both engines produce "
+    "identical lowercase hex (tier-1); production would take k mins of "
+    "xxhash64 for a k-band sketch.",
+)
+def q49_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id")
+        .agg(F.min(F.md5(F.encode("word", "UTF-8"))).alias("fingerprint"))
+    )
+
+
+@register(
+    "q50_langid",
+    """
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(n_stop AS BIGINT) AS n_stop,
+           CASE WHEN n_stop >= 2 THEN 'en' ELSE 'unknown' END AS lang_pred
+    FROM t
+    """,
+    doc="X4 language-ID heuristic — stopword-marker scoring (the n-gram "
+    "profile method degenerates to marker counting on this synthetic "
+    "vocabulary; functions/text.py carries the real n-gram profiler "
+    "with its own unit tests on natural-language samples). Map-only.",
+)
+def q50_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_stop = F.size(F.filter(F.split("text", " "), lambda w: w.isin("the", "a")))
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_stop.cast("bigint").alias("n_stop"),
+        F.when(n_stop >= 2, F.lit("en")).otherwise(F.lit("unknown")).alias("lang_pred"),
+    )

@@ -1,0 +1,113 @@
+"""Multimodal ingest + feature-extraction tests (north-star X5): real
+binaryFile plumbing and header parsing over crafted media fixtures;
+decode paths assert their stub contract."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from batch_processing_system_spark.functions.multimodal import (
+    decode_and_resize,
+    extract_media_metadata,
+    sample_video_frames,
+)
+from batch_processing_system_spark.sources.binaryfile import read_binary_dir
+
+
+def make_png(w, h):
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + b"\x00\x00\x00\rIHDR"
+        + struct.pack(">II", w, h)
+        + b"\x08\x06\x00\x00\x00" + b"\x00" * 16
+    )
+
+
+def make_gif(w, h):
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 32
+
+
+def make_wav(sample_rate=16000, seconds=2):
+    byte_rate = sample_rate * 2
+    data = b"\x00" * (byte_rate * seconds)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+@pytest.fixture(scope="module")
+def media_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("media")
+    (d / "a.png").write_bytes(make_png(640, 480))
+    (d / "b.gif").write_bytes(make_gif(32, 16))
+    (d / "c.wav").write_bytes(make_wav(16000, 2))
+    (d / "junk.bin").write_bytes(b"\x00\x01\x02\x03" * 10)
+    return str(d)
+
+
+class TestBinaryIngest:
+    def test_scan_schema_and_digest(self, spark, media_dir):
+        df = read_binary_dir(spark, media_dir)
+        rows = {r["ext"]: r for r in df.collect()}
+        assert set(rows) == {"png", "gif", "wav", "bin"}
+        assert rows["png"]["length"] == len(make_png(640, 480))
+        assert len(rows["png"]["content_sha256"]) == 64
+        # identical content → identical digest (media exact-dedup key)
+        assert rows["png"]["content_sha256"] != rows["gif"]["content_sha256"]
+
+    def test_glob_filter(self, spark, media_dir):
+        df = read_binary_dir(spark, media_dir, glob="*.png")
+        assert df.count() == 1
+
+
+class TestMetadataExtraction:
+    def test_header_dimensions(self, spark, media_dir):
+        meta = {
+            r["format"]: r
+            for r in extract_media_metadata(read_binary_dir(spark, media_dir)).collect()
+        }
+        assert (meta["png"]["width"], meta["png"]["height"]) == (640, 480)
+        assert (meta["gif"]["width"], meta["gif"]["height"]) == (32, 16)
+        assert meta["wav"]["sample_rate"] == 16000
+        assert abs(meta["wav"]["duration_ms"] - 2000) <= 10
+        assert meta["unknown"]["width"] is None
+
+    def test_batch_shape_is_arrow_batched(self, spark, media_dir):
+        # schema contract is stable regardless of batch contents
+        out = extract_media_metadata(read_binary_dir(spark, media_dir))
+        assert out.schema.simpleString() == (
+            "struct<path:string,length:bigint,format:string,width:int,"
+            "height:int,sample_rate:int,duration_ms:bigint>"
+        )
+
+
+class TestStubs:
+    def test_decode_stub_names_dependency(self, spark, media_dir):
+        df = read_binary_dir(spark, media_dir)
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            decode_and_resize(df, 8, 8)
+
+    def test_frame_sampling_stub(self, spark, media_dir):
+        with pytest.raises(NotImplementedError, match="AV decoder"):
+            sample_video_frames(read_binary_dir(spark, media_dir), 1000)
+
+
+class TestLanguageId:
+    def test_natural_language_samples(self, spark):
+        from batch_processing_system_spark.functions.text import langid_udf
+
+        samples = [
+            ("The quick brown fox jumps over the lazy dog and it was fine",),
+            ("El perro corre por la calle y no se detiene para nada",),
+            ("Der Hund läuft auf der Straße und das ist nicht schlimm",),
+            ("Le chien court dans la rue et il est pour les enfants",),
+            ("这只狗在街上跑",),
+            ("",),
+        ]
+        df = spark.createDataFrame(samples, "text string")
+        out = [r["lang"] for r in df.select(langid_udf("text").alias("lang")).collect()]
+        assert out == ["en", "es", "de", "fr", "zh", "unknown"]
