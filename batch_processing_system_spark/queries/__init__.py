@@ -70,6 +70,7 @@ def _ensure_loaded() -> None:
         text,
         similarity,
         pipeline_queries,
+        extras,
     )
 
     _LOADED = True

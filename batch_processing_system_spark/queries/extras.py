@@ -1,0 +1,228 @@
+"""Coverage-completing operators: the SURVEY §2 capabilities not yet
+exercised as standalone catalog queries — full W3 rank family, pivot,
+EXISTS / scalar subqueries, ordered string aggregation, exact TF-IDF,
+histogram bucketing, and the U3 batch grouped-map surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..engine.det import bcount
+from ..engine.io import load_table
+from . import register
+
+
+@register(
+    "q56_rank_family",
+    """
+    SELECT c_custkey,
+           c_mktsegment,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey)
+    """,
+    doc="W3 complete rank family — rank/dense_rank/ntile over the same "
+    "partitioned ordered window (deterministic: total order via the "
+    "custkey tiebreak, §2.5 D3).",
+)
+def q56_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").cast("decimal(18,2)").desc(), F.col("c_custkey")
+    )
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+@register(
+    "q57_pivot",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+    FROM events GROUP BY user_id
+    """,
+    doc="Pivot — long→wide per-user event-type counts via "
+    "df.groupBy().pivot(values).count(): with the value list given "
+    "explicitly, Catalyst plans a single-pass pivot aggregate (no "
+    "second scan to discover values). Oracle spells the same thing as "
+    "CASE sums.",
+)
+def q57_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    kinds = ["view", "click", "purchase", "signup", "error"]
+    out = events.groupBy("user_id").pivot("event_type", kinds).count()
+    return out.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).cast("bigint").alias(k) for k in kinds]
+    )
+
+
+@register(
+    "q58_string_agg",
+    """
+    SELECT source,
+           array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs
+    FROM documents GROUP BY source
+    """,
+    doc="Ordered string aggregation (LISTAGG) — collect_set → array_sort "
+    "→ array_join; sorted per §2.5 D8 so the concatenation is "
+    "order-independent of partitioning.",
+)
+def q58_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs")
+    )
+
+
+@register(
+    "q59_exists",
+    """
+    SELECT o_orderkey FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+    """,
+    doc="EXISTS correlated subquery — decorrelates to a left-semi join "
+    "on the correlation key with the predicate pushed below the join "
+    "(same plan the DataFrame semi-join form produces).",
+)
+def q59_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_semi"
+    ).select("o_orderkey")
+
+
+@register(
+    "q60_scalar_subquery",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
+          (SELECT ROUND(AVG(CAST(o_totalprice AS DECIMAL(18,2))), 2) FROM orders)
+    """,
+    doc="Scalar subquery — orders above the global average price. The "
+    "aggregate runs once and broadcasts as a literal into the filter "
+    "(Spark: ScalarSubquery reuse, not a rescan per row). DECIMAL "
+    "discipline keeps the threshold identical on both engines (D1).",
+)
+def q60_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    price_d = F.col("o_totalprice").cast("decimal(18,2)")
+    avg_price = orders.select(F.round(F.avg(price_d), 2).alias("a"))
+    return (
+        orders.join(F.broadcast(avg_price))
+        .filter(price_d > F.col("a"))
+        .select("o_orderkey", price_d.cast("double").alias("total_price"))
+    )
+
+
+@register(
+    "q61_tfidf",
+    """
+    WITH words AS (
+        SELECT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        ) WHERE word <> ''
+    ),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word),
+    df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY word),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.word,
+               ROUND(tf.tf * LN((n.n + 1.0) / (df.df + 1.0)), 4) AS tfidf
+        FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+    )
+    SELECT doc_id, word, tfidf FROM (
+        SELECT doc_id, word, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, word) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+    doc="X4 exact TF-IDF, top term per document (tier-1!) — term "
+    "frequency ⋈ document frequency (broadcast: df is vocabulary-sized) "
+    "with smoothed-idf weighting, rounded per D7, top-1 by window with "
+    "word tiebreak. The hashed HashingTF+IDF pipeline replaces this "
+    "when the vocabulary itself no longer fits (features become "
+    "indices, scores tier-2).",
+)
+def q61_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # driver-edge scalar, O(1) result
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(bcount("tf"))
+    df = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "word").select(
+        "doc_id",
+        "word",
+        F.round(
+            F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 4
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "word", "tfidf")
+    )
+
+
+@register(
+    "q62_histogram",
+    """
+    SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket, COUNT(*) AS cnt
+    FROM events GROUP BY 1
+    """,
+    doc="Histogram bucketing — fixed-width bins as a pure expression "
+    "group key; the exploration primitive next to q35's sketches.",
+)
+def q62_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        F.floor(F.col("value") / 10.0).cast("bigint").alias("bucket")
+    ).agg(bcount("cnt"))
+
+
+@register(
+    "q63_grouped_map",
+    None,  # tier-2: per-group float normalization (accumulation order)
+    doc="U3 batch grouped-map — per-user z-score of event values via "
+    "groupBy().applyInPandas (the spec's per-job post-processing "
+    "surface, /root/reference/README.md:93-103): one Arrow batch per "
+    "group, vectorized numpy inside, grouped shuffle outside.",
+)
+def q63_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        std = v.std(ddof=0)
+        z = (v - v.mean()) / std if std > 0 else v * 0.0
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z": z.round(4)}
+        )
+
+    return events.select("event_id", "user_id", "value").groupBy("user_id").applyInPandas(
+        zscore, "event_id bigint, user_id bigint, z double"
+    )
