@@ -1,0 +1,77 @@
+"""Skew mitigation helpers (SURVEY §7 M5: "salt skewed keys").
+
+AQE's skew-join splitting handles most hot-key joins automatically;
+these helpers cover the two cases it doesn't:
+
+- ``salted_aggregate``: two-phase aggregation for a groupBy whose key
+  distribution is degenerate (one key = 30% of 100 TB). Phase 1
+  aggregates on (key, salt) — spreading the hot key over N reducers —
+  phase 2 combines the N partials. Only works for algebraic
+  aggregates (sum/count/min/max), which is exactly what the helper's
+  signature admits.
+- ``salted_broadcast_left``: replicate-broadcast for a hot build side
+  when the dimension is too big to broadcast whole but a few keys
+  dominate (split hot keys out, broadcast them, union).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "_salt"
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe groupBy.
+
+    ``aggs`` maps output column → (input column, fn) with fn in
+    {sum, count, min, max}. The result equals the direct
+    ``df.groupBy(keys).agg(...)`` bit-for-bit for these algebraic
+    functions (verified by property test), while the first shuffle
+    spreads every key over ``n_salts`` reducers.
+    """
+    supported = {"sum", "count", "min", "max"}
+    for out, (_, fn) in aggs.items():
+        if fn not in supported:
+            raise ValueError(f"{out}: {fn!r} is not algebraic-decomposable here")
+
+    salted = df.withColumn(SALT_COL, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)))
+    phase1 = salted.groupBy(*keys, SALT_COL).agg(
+        *[
+            getattr(F, fn)(col).alias(out)
+            for out, (col, fn) in aggs.items()
+        ]
+    )
+    # phase 2: combine partials (count partials combine by SUM)
+    recombine = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    return phase1.groupBy(*keys).agg(
+        *[
+            getattr(F, recombine[fn])(out).alias(out)
+            for out, (_, fn) in aggs.items()
+        ]
+    )
+
+
+def salted_broadcast_left(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    hot_keys: Sequence,
+    how: str = "inner",
+) -> DataFrame:
+    """Join where ``right`` is too big to broadcast but a known set of
+    hot keys dominates ``left``: the hot slice of right broadcasts,
+    the cold remainder joins normally, results union. Equivalent to
+    ``left.join(right, key, how)`` for inner/left joins."""
+    hot = F.col(key).isin(list(hot_keys))
+    hot_j = left.filter(hot).join(F.broadcast(right.filter(hot)), key, how)
+    cold_j = left.filter(~hot).join(right.filter(~hot), key, how)
+    return hot_j.unionByName(cold_j)

@@ -47,6 +47,7 @@ def main() -> None:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
 
     total = round(sum(v for v in per_query.values() if v >= 0), 3)
+    conf = spark.conf
     print(
         json.dumps(
             {
@@ -55,6 +56,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "config": {
+                    "spark_version": spark.version,
+                    "master": spark.sparkContext.master,
+                    "shuffle_partitions": conf.get("spark.sql.shuffle.partitions"),
+                    "aqe": conf.get("spark.sql.adaptive.enabled"),
+                    "broadcast_threshold": conf.get("spark.sql.autoBroadcastJoinThreshold"),
+                },
             }
         )
     )

@@ -1,0 +1,124 @@
+"""Tests for the 100 TB-path mechanisms: partition-scoped upsert
+(touches only affected buckets) and skew-salting equivalences."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from batch_processing_system_spark.engine.skew import (
+    salted_aggregate,
+    salted_broadcast_left,
+)
+from batch_processing_system_spark.pipeline.schemas import DOCUMENT_SCHEMA
+from batch_processing_system_spark.pipeline.storage import (
+    upsert_documents_partitioned,
+    write_documents_bucketed,
+)
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+
+
+class TestPartitionedUpsert:
+    def _seed(self, spark, path, n=200, n_buckets=8):
+        docs = spark.createDataFrame(
+            [(f"doc-{i:04d}", "pending", [], "{}") for i in range(n)], DOCUMENT_SCHEMA
+        )
+        write_documents_bucketed(docs, path, n_buckets)
+        return docs
+
+    def test_merge_semantics_and_bucket_scoping(self, spark, tmp_path):
+        path = str(tmp_path / "docs")
+        self._seed(spark, path, n=200, n_buckets=8)
+        updates = spark.createDataFrame(
+            [
+                ("doc-0003", "completed", ('{"v":3}', T0)),
+                ("doc-0007", "failed", None),
+            ],
+            "custom_id string, new_status string, "
+            "new_item struct<event_response:string, updated:timestamp>",
+        )
+        touched = upsert_documents_partitioned(spark, path, updates, n_buckets=8)
+        assert 1 <= len(touched) <= 2  # only the buckets holding the 2 keys
+
+        state = {r["_id"]: r for r in spark.read.parquet(path).collect()}
+        assert len(state) == 200  # no rows lost
+        assert state["doc-0003"]["ai_status"] == "completed"
+        assert len(state["doc-0003"]["event_response"]) == 1
+        assert state["doc-0007"]["ai_status"] == "failed"
+        assert state["doc-0007"]["event_response"] == []
+        assert state["doc-0000"]["ai_status"] == "pending"
+
+    def test_untouched_bucket_files_not_rewritten(self, spark, tmp_path):
+        path = str(tmp_path / "docs")
+        self._seed(spark, path, n=200, n_buckets=8)
+        before = {
+            d: sorted(os.listdir(os.path.join(path, d)))
+            for d in os.listdir(path)
+            if d.startswith("_bucket=")
+        }
+        updates = spark.createDataFrame(
+            [("doc-0003", "completed", ('{"v":3}', T0))],
+            "custom_id string, new_status string, "
+            "new_item struct<event_response:string, updated:timestamp>",
+        )
+        touched = upsert_documents_partitioned(spark, path, updates, n_buckets=8)
+        after = {
+            d: sorted(os.listdir(os.path.join(path, d)))
+            for d in os.listdir(path)
+            if d.startswith("_bucket=")
+        }
+        unchanged = [d for d in before if int(d.split("=")[1]) not in touched]
+        assert unchanged, "expected at least one untouched bucket"
+        for d in unchanged:
+            assert before[d] == after[d], f"untouched bucket {d} was rewritten"
+
+    def test_empty_updates_is_noop(self, spark, tmp_path):
+        path = str(tmp_path / "docs")
+        self._seed(spark, path, n=20, n_buckets=4)
+        empty = spark.createDataFrame(
+            [],
+            "custom_id string, new_status string, "
+            "new_item struct<event_response:string, updated:timestamp>",
+        )
+        assert upsert_documents_partitioned(spark, path, empty, n_buckets=4) == []
+
+
+class TestSalting:
+    def test_salted_aggregate_equals_direct(self, spark):
+        # skewed: key 0 carries 90% of rows
+        rows = [(0, float(i % 7)) for i in range(900)] + [
+            (k, float(k)) for k in range(1, 101)
+        ]
+        df = spark.createDataFrame(rows, "k bigint, v double").repartition(16)
+        direct = df.groupBy("k").agg(
+            F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+        )
+        salted = salted_aggregate(
+            df, ["k"],
+            {"s": ("v", "sum"), "c": ("v", "count"), "mn": ("v", "min"), "mx": ("v", "max")},
+        )
+        assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, salted.collect()))
+
+    def test_salted_aggregate_rejects_nonalgebraic(self, spark):
+        import pytest
+
+        df = spark.createDataFrame([(1, 1.0)], "k bigint, v double")
+        with pytest.raises(ValueError, match="avg"):
+            salted_aggregate(df, ["k"], {"a": ("v", "avg")})
+
+    def test_salted_broadcast_join_equals_direct(self, spark):
+        left = spark.createDataFrame(
+            [(i % 5, i) for i in range(1000)], "k bigint, payload bigint"
+        )
+        right = spark.createDataFrame(
+            [(k, f"dim-{k}") for k in range(5)], "k bigint, name string"
+        )
+        direct = left.join(right, "k").select("k", "payload", "name")
+        salted = salted_broadcast_left(left, right, "k", hot_keys=[0, 1]).select(
+            "k", "payload", "name"
+        )
+        assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, salted.collect()))
