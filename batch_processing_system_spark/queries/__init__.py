@@ -71,6 +71,7 @@ def _ensure_loaded() -> None:
         similarity,
         pipeline_queries,
         extras,
+        analytics,
     )
 
     _LOADED = True

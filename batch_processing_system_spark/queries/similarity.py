@@ -164,7 +164,17 @@ def q53_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q51_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs).withColumn("h", F.xxhash64("shingle"))
+    # multiset shingles (no distinct): SimHash weights features by
+    # occurrence anyway, and skipping the dedup saves a full shuffle —
+    # the vote aggregation below is the only wide stage before banding.
+    words = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    idx = F.sequence(F.lit(0), F.size("ws") - 3)
+    sh = words.select("doc_id", F.explode(idx).alias("i"), "ws").select(
+        "doc_id",
+        F.concat_ws(
+            " ", *[F.element_at("ws", F.col("i") + k + 1) for k in range(3)]
+        ).alias("shingle"),
+    ).withColumn("h", F.xxhash64("shingle"))
     # per-bit ±1 vote per doc; sign of the vote = fingerprint bit
     votes = sh.groupBy("doc_id").agg(
         *[
