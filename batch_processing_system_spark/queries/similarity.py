@@ -65,7 +65,10 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 16)
     vecs = tf.transform(feats)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=SEED)
+    # 6 tables: measured 100% recall vs the exact-Jaccard twin at both
+    # sf0.01 and sf0.1 (and still 100% at 4) — the extra tables only
+    # multiply the explode+join cost of candidate generation.
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=6, seed=SEED)
     model = lsh.fit(vecs)
     pairs = model.approxSimilarityJoin(vecs, vecs, 0.4, distCol="jaccard_dist")
     return (

@@ -36,7 +36,10 @@ def main() -> None:
     from batch_processing_system_spark.engine.io import TABLES, load_table
 
     for t in TABLES:
-        load_table(spark, sf_dir, t).count()
+        # full-width read (count() alone prunes every column and would
+        # leave first-column-touch decode costs inside query timings)
+        df = load_table(spark, sf_dir, t)
+        df.selectExpr("max(struct(*))").count()
     next(iter(REGISTRY.values())).fn(spark, sf_dir).count()
 
     per_query: dict[str, float] = {}

@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import math
 import os
+import re
 import sys
 import time
 import traceback
@@ -36,6 +37,33 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
         if os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
+
+
+def _norm_type(t: str) -> str:
+    """Normalize Spark and DuckDB type spellings to a common form so the
+    schema check compares semantics, not dialect names."""
+    t = t.lower().strip()
+    aliases = {
+        "bigint": "int64", "int64": "int64", "long": "int64", "hugeint": "int128",
+        "int": "int32", "integer": "int32", "int32": "int32",
+        "smallint": "int16", "tinyint": "int8",
+        "double": "float64", "float": "float32", "real": "float32",
+        "varchar": "string", "string": "string", "text": "string",
+        "boolean": "bool", "bool": "bool",
+        "date": "date", "timestamp": "timestamp", "timestamp_ns": "timestamp",
+        "timestamp with time zone": "timestamp",
+    }
+    if t in aliases:
+        return aliases[t]
+    m = re.match(r"(array|list)<(.+)>$", t) or re.match(r"(.+)\[\]$", t)
+    if m:
+        inner = m.group(2) if m.lastindex == 2 else m.group(1)
+        return f"list<{_norm_type(inner)}>"
+    if t.startswith("decimal"):
+        return "decimal"
+    if t.startswith("struct"):
+        return "struct"
+    return t
 
 
 def normalize(v):
@@ -69,13 +97,22 @@ def run_one(spark, con, name, spec, sf_dir) -> dict:
         out["ok"] = True  # rows-only check
         out["note"] = "tier-2 rows-only"
         return out
-    res = con.execute(spec.oracle)
-    drows = res.fetchall()
-    dcols = [d[0] for d in res.description]
+    rel = con.sql(spec.oracle)
+    drows = rel.fetchall()
+    dcols = list(rel.columns)
+    dtypes = [str(t).lower() for t in rel.types]
     out["duck_rows"] = len(drows)
     if sorted(c.lower() for c in scols) != sorted(c.lower() for c in dcols):
         out["note"] = f"SCHEMA mismatch: spark={scols} duck={dcols}"
         return out
+    # type-level schema check (the driver may compare types, not just
+    # names): normalize both engines' spellings and compare per column
+    stypes = {f.name.lower(): _norm_type(f.dataType.simpleString()) for f in sdf.schema.fields}
+    for c, t in zip(dcols, dtypes):
+        dt, st = _norm_type(t), stypes[c.lower()]
+        if dt != st:
+            out["note"] = f"TYPE mismatch on {c}: spark={st} duck={dt}"
+            return out
     # align duck column order to spark's
     idx = [
         [c.lower() for c in dcols].index(c.lower()) for c in scols
