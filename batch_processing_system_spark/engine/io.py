@@ -32,6 +32,10 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Defensive: hour()/date_trunc() outputs depend on the session
+    # timezone, and the DuckDB oracle treats timestamps as naive-UTC.
+    # Our own factory sets this, but the driver's session may not.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md), which Spark 4
         # rejects by default. Read nanos as BIGINT and truncate to µs —

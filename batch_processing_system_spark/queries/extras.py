@@ -187,6 +187,98 @@ def q61_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q67_scalar_breadth",
+    """
+    SELECT o_orderkey,
+           GREATEST(CAST(o_totalprice AS DECIMAL(18,2)), CAST(100000 AS DECIMAL(18,2))) >
+               CAST(100000 AS DECIMAL(18,2)) AS above_100k,
+           LEAST(o_orderkey % 7, o_orderkey % 5) AS least_mod,
+           LPAD(CAST(o_orderkey AS VARCHAR), 12, '0') AS padded_key,
+           CAST(datediff('day', CAST(o_orderdate AS TIMESTAMP),
+                         TIMESTAMP '2024-06-01 00:00:00') AS BIGINT) AS days_to_cutoff,
+           CAST(date_trunc('day', CAST(o_orderdate AS TIMESTAMP) + INTERVAL 30 DAY) AS DATE)
+               AS due_day
+    FROM orders
+    """,
+    doc="C2-C4 breadth — greatest/least, lpad, date arithmetic "
+    "(datediff + interval add): the long tail of scalar functions an "
+    "engine user reaches for daily. All map-side expressions.",
+)
+def q67_scalar_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    price_d = F.col("o_totalprice").cast("decimal(18,2)")
+    cutoff = F.lit("2024-06-01 00:00:00").cast("timestamp")
+    return o.select(
+        "o_orderkey",
+        (F.greatest(price_d, F.lit(100000).cast("decimal(18,2)"))
+         > F.lit(100000).cast("decimal(18,2)")).alias("above_100k"),
+        F.least(F.col("o_orderkey") % 7, F.col("o_orderkey") % 5).alias("least_mod"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("padded_key"),
+        F.datediff(cutoff, F.col("o_orderdate")).cast("bigint").alias("days_to_cutoff"),
+        F.to_date(F.date_trunc("day", F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")))
+        .alias("due_day"),
+    )
+
+
+@register(
+    "q68_conditional_agg",
+    """
+    SELECT user_id,
+           CAST(count_if(event_type = 'purchase') AS BIGINT) AS n_purchases,
+           bool_or(event_type = 'error') AS had_error,
+           bool_and(value >= 0) AS all_nonneg,
+           CAST(MIN(CASE WHEN event_type = 'purchase' THEN event_id END) AS BIGINT)
+               AS first_purchase_id
+    FROM events GROUP BY user_id
+    """,
+    doc="Conditional aggregation — count_if / bool_or / bool_and / "
+    "filtered MIN: per-key predicate summaries (the shape of feature "
+    "engineering and data-quality sweeps). One hash agg, no UDFs.",
+)
+def q68_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "purchase").cast("bigint").alias("n_purchases"),
+        F.bool_or(F.col("event_type") == "error").alias("had_error"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("event_id")))
+        .cast("bigint")
+        .alias("first_purchase_id"),
+    )
+
+
+@register(
+    "q69_window_breadth",
+    """
+    SELECT event_id,
+           FIRST_VALUE(event_id) OVER w AS first_id,
+           LAST_VALUE(event_id) OVER (PARTITION BY user_id
+                                      ORDER BY CAST(ts AS TIMESTAMP), event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND UNBOUNDED FOLLOWING) AS last_id,
+           ROUND(PERCENT_RANK() OVER w, 4) AS pr,
+           ROUND(CUME_DIST() OVER w, 4) AS cd
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+    doc="W3/W5 breadth — first_value / last_value (explicit full frame: "
+    "the default frame would stop at CURRENT ROW) / percent_rank / "
+    "cume_dist, rounded per D7 since both are ratios.",
+)
+def q69_window_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return events.select(
+        "event_id",
+        F.first("event_id").over(w).alias("first_id"),
+        F.last("event_id").over(w_full).alias("last_id"),
+        F.round(F.percent_rank().over(w), 4).alias("pr"),
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+    )
+
+
+@register(
     "q62_histogram",
     """
     SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket, COUNT(*) AS cnt

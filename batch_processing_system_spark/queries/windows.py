@@ -94,17 +94,21 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q27",
     """
     SELECT event_id,
-           LAG(event_id) OVER (PARTITION BY user_id
-                               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_event_id
+           LAG(event_id)  OVER w AS prev_event_id,
+           LEAD(event_id) OVER w AS next_event_id
     FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
     """,
-    doc="W4 lag — previous event per user (sessionization input).",
+    doc="W4 lag/lead — previous and next event per user (gap detection, "
+    "sessionization input).",
 )
 def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return events.select(
-        "event_id", F.lag("event_id").over(w).alias("prev_event_id")
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
     )
 
 
