@@ -18,6 +18,8 @@ from batch_processing_system_spark.pipeline.storage import (
     write_documents_bucketed,
 )
 
+from .conftest import SF_SMALL
+
 T0 = datetime(2024, 1, 1, 12, 0, 0)
 
 
@@ -84,6 +86,47 @@ class TestPartitionedUpsert:
             "new_item struct<event_response:string, updated:timestamp>",
         )
         assert upsert_documents_partitioned(spark, path, empty, n_buckets=4) == []
+
+
+class TestBucketedJoin:
+    def test_cobucketed_fact_join_has_no_shuffle(self, spark, tmp_path):
+        """Substantiates SCALE.md: bucketing both facts on the join key
+        removes the Exchange entirely — the join reads co-located
+        buckets (sort-merge with zero shuffles)."""
+        import io
+        from contextlib import redirect_stdout
+
+        from batch_processing_system_spark.engine.io import load_table
+
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{tmp_path}/wh'")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            load_table(spark, SF_SMALL, "orders").write.bucketBy(8, "o_orderkey").sortBy(
+                "o_orderkey"
+            ).mode("overwrite").saveAsTable("bucketdb.orders_b")
+            load_table(spark, SF_SMALL, "lineitem").write.bucketBy(8, "l_orderkey").sortBy(
+                "l_orderkey"
+            ).mode("overwrite").saveAsTable("bucketdb.lineitem_b")
+            from pyspark.sql import functions as F
+
+            j = (
+                spark.table("bucketdb.orders_b")
+                .join(
+                    spark.table("bucketdb.lineitem_b"),
+                    F.col("o_orderkey") == F.col("l_orderkey"),
+                )
+                .select("o_orderkey", "l_linenumber")
+            )
+            assert j.count() == load_table(spark, SF_SMALL, "lineitem").count()
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                j.explain("formatted")
+            plan = buf.getvalue()
+            assert "Exchange" not in plan, "bucketed join still shuffles"
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
 
 
 class TestSalting:
