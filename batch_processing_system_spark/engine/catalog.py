@@ -1,0 +1,28 @@
+"""SQL entry point (SURVEY §3.4: "(b) spark.sql(...) — parsed by
+Catalyst's SQL parser into the same unresolved logical plan").
+
+``register_tables`` exposes the testdata layout as temp views so the
+whole engine surface is reachable from SQL strings, not just the
+DataFrame API — both forms land on identical Catalyst plans, which
+``tests/test_sql_api.py`` asserts by value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .io import TABLES, load_table
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, prefix: str = ""
+) -> list[str]:
+    """Create (or replace) one temp view per testdata table. Returns the
+    view names. With a ``prefix``, multiple scale factors can coexist
+    in one session (e.g. ``sf001_orders``)."""
+    names = []
+    for t in TABLES:
+        name = f"{prefix}{t}"
+        load_table(spark, sf_dir, t).createOrReplaceTempView(name)
+        names.append(name)
+    return names
