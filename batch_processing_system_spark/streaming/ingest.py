@@ -1,0 +1,57 @@
+"""Continuous result-file ingestion (SURVEY §3.3 as a streaming job).
+
+The reference polls for completed batches and then processes result
+files in bulk (/root/reference/README.md:86-104). With the engine's
+pieces, the same dataflow runs CONTINUOUSLY: result/error JSONL files
+land in a directory (the "downloaded outputs" boundary), a file
+stream picks them up, and each micro-batch applies
+
+    build_update_records (branch → extract → validate)
+      → partition-scoped MERGE into the bucketed document store
+
+so documents flip to completed/failed within a trigger interval of
+the file arriving instead of a poll interval later. State stays
+externalized (the document store itself), exactly like the
+reference's design — the stream engine only tracks file offsets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..pipeline.process import build_update_records
+from ..pipeline.schemas import RESULT_LINE_SCHEMA
+from ..pipeline.storage import upsert_documents_partitioned
+
+
+def result_file_stream(spark: SparkSession, incoming_dir: str) -> DataFrame:
+    """File-source stream of result/error lines (spec's output+error
+    files unioned by schema: both shapes fit RESULT_LINE_SCHEMA)."""
+    return spark.readStream.schema(RESULT_LINE_SCHEMA).json(incoming_dir)
+
+
+def stream_results_into_documents(
+    spark: SparkSession,
+    incoming_dir: str,
+    docs_path: str,
+    output_schema_json: str,
+    checkpoint: str,
+    now,
+    n_buckets: int = 64,
+    strict: bool = False,
+):
+    """Wire the stream to the bucketed store. Returns the
+    DataStreamWriter (caller picks the trigger: availableNow for
+    catch-up runs, processingTime for the reference's 5-minute cadence,
+    /root/reference/README.md:145)."""
+    outcomes = result_file_stream(spark, incoming_dir)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        updates = build_update_records(batch_df, output_schema_json, now, strict=strict)
+        upsert_documents_partitioned(
+            batch_df.sparkSession, docs_path, updates, n_buckets=n_buckets
+        )
+
+    return outcomes.writeStream.foreachBatch(merge_batch).option(
+        "checkpointLocation", checkpoint
+    )
