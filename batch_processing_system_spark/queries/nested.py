@@ -56,3 +56,26 @@ def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.filter(k.between(0, 50)).select(
         "event_id", F.lit(True).alias("valid")
     )
+
+
+@register(
+    "q70_map_ops",
+    """
+    SELECT event_id,
+           list_sort(json_keys(props)) AS ks,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS v_k
+    FROM events
+    """,
+    doc="C6 map/struct family — open-shaped JSON payload parsed to a "
+    "typed map: map_keys (sorted per D8) + value lookup; the shape of "
+    "the spec's dynamic-schema body/context objects "
+    "(/root/reference/README.md:59-61,155).",
+)
+def q70_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return events.select(
+        "event_id",
+        F.array_sort(F.map_keys(m)).alias("ks"),
+        F.element_at(m, "k").alias("v_k"),
+    )

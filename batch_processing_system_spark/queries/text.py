@@ -37,6 +37,27 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q71_posexplode",
+    """
+    SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i] AS word
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         UNNEST(generate_series(1, len(ws))) AS t(i)
+    WHERE ws[i] <> ''
+    """,
+    doc="U4 generator with ordinality — posexplode keeps token "
+    "positions (1-based to match SQL array indexing); the primitive "
+    "under shingling, positional n-grams, and span labeling.",
+)
+def q71_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word"))
+        .filter(F.col("word") != "")
+        .select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "word")
+    )
+
+
+@register(
     "q45_dedup_exact",
     """
     SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
