@@ -295,6 +295,60 @@ def q62_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q72_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, measure, CAST(val AS DOUBLE) AS val FROM (
+        SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+               CAST(l_quantity AS DECIMAL(18,2)) AS val FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'extendedprice',
+               CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount',
+               CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+    )
+    """,
+    doc="Unpivot/melt — wide measures to long (measure, value) rows via "
+    "df.unpivot: the inverse of q57's pivot and the standard reshape "
+    "before per-measure aggregation. Pure map-side (no shuffle); the "
+    "oracle spells it as UNION ALL, which is the same plan.",
+)
+def q72_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("decimal(18,2)").alias("quantity"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("extendedprice"),
+        F.col("l_discount").cast("decimal(18,2)").alias("discount"),
+    )
+    return wide.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount"],
+        "measure",
+        "val",
+    ).withColumn("val", F.col("val").cast("double"))
+
+
+@register(
+    "q73_hash_sample",
+    """
+    SELECT o_orderkey, o_orderstatus FROM orders
+    WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+    doc="Deterministic hash sampling — a ~1/8 sample selected by digest "
+    "prefix instead of rand(): reproducible across engines, runs, and "
+    "partitionings (TABLESAMPLE is not), which is what a 100 TB "
+    "exploration pass actually needs. Map-side filter, pushdown-safe "
+    "on the key column.",
+)
+def q73_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    prefix = F.substring(F.md5(F.encode(F.col("o_orderkey").cast("string"), "UTF-8")), 1, 1)
+    return orders.filter(prefix.isin("0", "1")).select("o_orderkey", "o_orderstatus")
+
+
+@register(
     "q63_grouped_map",
     None,  # tier-2: per-group float normalization (accumulation order)
     doc="U3 batch grouped-map — per-user z-score of event values via "
