@@ -127,16 +127,10 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q22",
-    """
-    SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys
-    FROM orders GROUP BY o_custkey
-    """,
-    doc="A7 collect_list assembling event_response-style arrays "
-    "(/root/reference/README.md:100,130-137); array_sort for D8 determinism.",
-)
-def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q22_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 collect_list as a true array column — the form user code
+    consumes. Not driver-registered (the harness value-hasher cannot
+    hash array cells); tests compare it against q22's joined form."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_custkey").agg(
         F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys")
@@ -144,16 +138,61 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q22",
+    """
+    SELECT o_custkey,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys
+    FROM orders GROUP BY o_custkey
+    """,
+    doc="A7 collect_list assembling event_response-style arrays "
+    "(/root/reference/README.md:100,130-137); array_sort for D8 "
+    "determinism, joined to a CSV string so the checked column is "
+    "hashable (the array form lives in q22_arrays for library use).",
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arr = q22_arrays(spark, sf_dir)
+    return arr.select(
+        "o_custkey",
+        F.array_join(
+            F.transform("orderkeys", lambda x: x.cast("string")), ","
+        ).alias("orderkeys"),
+    )
+
+
+@register(
     "q35",
-    None,  # tier-2: sketch outputs are not oracle-hashable (SURVEY §2.4)
+    """
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_users_ok,
+           TRUE AS p50_ok
+    FROM events
+    """,
     doc="A6 approx_count_distinct + percentile_approx — the 100 TB "
-    "exploration path (HLL + KLL-style sketches, no exact shuffle).",
+    "exploration path (HLL + KLL-style sketches, no exact shuffle). "
+    "Oracle-checkable restatement: the sketch outputs themselves are "
+    "not hashable across engines, so the checked columns are the exact "
+    "distinct count plus deterministic accuracy brackets (HLL within "
+    "±10% of exact; approx p50 inside the exact IQR) — TRUE on both "
+    "sides iff the sketches hold their guarantees.",
 )
 def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    return events.agg(
+    agg = events.agg(
+        F.countDistinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", 0.5).alias("p50_value"),
+        F.expr("percentile(value, 0.25D)").alias("p25"),
+        F.expr("percentile(value, 0.75D)").alias("p75"),
+        F.percentile_approx("value", F.lit(0.5)).alias("p50a"),
+    )
+    return agg.select(
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        (
+            (F.col("approx_users") >= F.col("exact_users") * 0.9)
+            & (F.col("approx_users") <= F.col("exact_users") * 1.1)
+        ).alias("approx_users_ok"),
+        ((F.col("p50a") >= F.col("p25")) & (F.col("p50a") <= F.col("p75"))).alias(
+            "p50_ok"
+        ),
     )
 
 

@@ -1,10 +1,11 @@
 """Similarity search & near-duplicate detection (SURVEY §2.3 X2/X3;
 north-star families "dedup" and "similarity search").
 
-All tier-2 (rows-only oracle checks): LSH bucketing and float
-accumulation are not hash-comparable across engines (SURVEY §2.5 D7,
-§7 H5), but every query here is internally deterministic — seeds
-fixed, ties broken on ids — so reruns are stable.
+q42 (LSH candidates + exact verification) and q43 (exact cosine top-k)
+are tier-1 hash-checked; the rest are tier-2 (rows-only): raw LSH
+bucketing and float accumulation are not hash-comparable across
+engines (SURVEY §2.5 D7, §7 H5), but every query here is internally
+deterministic — seeds fixed, ties broken on ids — so reruns are stable.
 
 Scale posture per query:
 - MinHashLSH / BucketedRandomProjectionLSH: candidate generation is a
@@ -22,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..engine.io import load_table
 from . import register
+from .text import JACCARD_NEARDUP_SQL
 
 SEED = 42
 
@@ -44,45 +46,88 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def _verify_jaccard_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact-verify candidate pairs against the FULL shingle sets.
+
+    ``cand``: (da, db) candidate doc-id pairs (da < db), from any
+    candidate generator (MinHash banding, DF-cut inverted index, ...).
+    ``sh``: (doc_id, shingle) distinct shingle table for the corpus.
+
+    Returns (doc_id_a, doc_id_b, n_common) for pairs with exact
+    Jaccard >= 0.6, decided by integer cross-multiplication (§2.5 D7).
+    Cost is bounded by the candidate set: each join fans out only over
+    the candidates' shingles, never all-pairs.
+    """
+    n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+    sh_a = sh.select(F.col("doc_id").alias("da"), F.col("shingle").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("db"), F.col("shingle").alias("sh_b"))
+    inter = (
+        cand.join(sh_a, "da")
+        .join(sh_b, ["db"])
+        .filter(F.col("sh_a") == F.col("sh_b"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = n.select(F.col("doc_id").alias("da"), F.col("nsh").alias("nsh_a"))
+    nb = n.select(F.col("doc_id").alias("db"), F.col("nsh").alias("nsh_b"))
+    return (
+        inter.join(na, "da")
+        .join(nb, "db")
+        .filter(
+            10 * F.col("n_common")
+            >= 6 * (F.col("nsh_a") + F.col("nsh_b") - F.col("n_common"))
+        )
+        .select(
+            F.col("da").alias("doc_id_a"),
+            F.col("db").alias("doc_id_b"),
+            "n_common",
+        )
+    )
+
+
 @register(
     "q42",
-    None,  # tier-2: LSH bucket boundaries aren't oracle-hashable
-    doc="X2 MinHashLSH near-dup candidate pairs — shingle → HashingTF → "
-    "MinHash banding → approxSimilarityJoin (Jaccard distance ≤ 0.4), "
-    "emitted as doc_id_a < doc_id_b. Seeded (H5). The scalable near-dup "
-    "path: candidates come from bucket joins, verification from exact "
-    "Jaccard on the candidate set only (q46_neardup_jaccard is the "
-    "exact-verification twin).",
+    # oracle: same ground truth as the exact inverted-index twin (q46) —
+    # LSH generates candidates, exact verification decides membership,
+    # so the output must equal the full exact-Jaccard pair set.
+    JACCARD_NEARDUP_SQL,
+    doc="X2 MinHashLSH near-dup — 5-word shingles → HashingTF → MinHash "
+    "banding → approxSimilarityJoin candidates (hashed-Jaccard distance "
+    "≤ 0.45 for slack), then EXACT Jaccard ≥ 0.6 verification on the "
+    "candidate set only (_verify_jaccard_pairs). Seeded (H5). This is "
+    "the 100 TB near-dup pipeline shape: candidates from bucket "
+    "equi-joins (never O(n²)), exact verification bounded by the "
+    "candidate count. Oracle = the full exact pair set (q46's SQL): "
+    "tier-1 because measured recall is 100% and verification is exact.",
 )
 def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     docs = load_table(spark, sf_dir, "documents")
-    feats = (
-        _shingles(docs)
-        .groupBy("doc_id")
-        .agg(F.collect_list("shingle").alias("tokens"))
-    )
+    sh = _shingles(docs, n=5)
+    feats = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("tokens"))
     tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 16)
     vecs = tf.transform(feats)
     # 6 tables: measured 100% recall vs the exact-Jaccard twin at both
-    # sf0.01 and sf0.1 (and still 100% at 4) — the extra tables only
-    # multiply the explode+join cost of candidate generation.
+    # sf0.01 and sf0.1 — the extra tables only multiply the
+    # explode+join cost of candidate generation.
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=6, seed=SEED)
     model = lsh.fit(vecs)
-    pairs = model.approxSimilarityJoin(vecs, vecs, 0.4, distCol="jaccard_dist")
-    return (
+    pairs = model.approxSimilarityJoin(vecs, vecs, 0.45, distCol="jaccard_dist")
+    cand = (
         pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
-            F.col("datasetA.doc_id").alias("doc_id_a"),
-            F.col("datasetB.doc_id").alias("doc_id_b"),
-            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+            F.col("datasetA.doc_id").alias("da"),
+            F.col("datasetB.doc_id").alias("db"),
         )
+        .distinct()
     )
+    return _verify_jaccard_pairs(cand, sh)
 
 
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     emb = load_table(spark, sf_dir, "embeddings")
+    # bounded-collect: unique-key filter, destructuring asserts exactly 1 row
     [row] = emb.filter(F.col("vec_id") == vec_id).select("embedding").collect()
     return [float(x) for x in row["embedding"]]
 
@@ -108,12 +153,30 @@ def _cosine(vec_col, qvec: list[float]):
 
 @register(
     "q43",
-    None,  # tier-2: float accumulation order (SURVEY §2.4)
+    """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT e.vec_id,
+             list_sum(list_transform(range(1, len(e.embedding)+1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) AS dot,
+             sqrt(list_sum(list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nv,
+             sqrt(list_sum(list_transform(q.qe,
+                      x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nq
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, ROUND(dot/(nv*nq), 4) AS cos_sim
+    FROM s ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
+    """,
     doc="X3 exact top-k vector similarity — brute-force cosine of every "
     "vector vs the query (vec_id=0), TakeOrderedAndProject top-5 with "
     "vec_id tiebreak. The correctness baseline: one scan, no shuffle "
     "except the final top-k merge; at 100 TB the IVF/LSH variant "
-    "(q53_ann_lsh) prunes the scan to candidate buckets.",
+    "(q53_ann_lsh) prunes the scan to candidate buckets. Tier-1: both "
+    "engines fold the dot product sequentially in double, and the "
+    "sf0.01 top-5 margins to the 4dp rounding boundary (≥4e-5) dwarf "
+    "double noise (~1e-15), so ROUND(...,4) hashes identically.",
 )
 def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -229,6 +292,49 @@ def q51_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(F.col("hamming") <= 6)
 
 
+# Broadcast budget for the exact cosine-near-dup path: the normalized
+# float64 matrix must fit comfortably on the driver AND in every
+# executor; past this, the LSH candidate path takes over automatically.
+COSINE_BROADCAST_BUDGET_BYTES = 64 << 20
+
+
+def _cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
+    """Scale path for cosine near-dup pairs: unit-normalize, bucket with
+    BucketedRandomProjectionLSH (euclidean on the unit sphere is
+    monotone in cosine: d² = 2−2cos), approxSimilarityJoin for
+    candidates, then EXACT cosine per candidate pair via JVM
+    higher-order functions — no Python, no O(n²), no driver collect."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    arr = F.col("embedding").cast("array<double>")
+    vecs = emb.select("vec_id", arr.alias("arr"), array_to_vector(arr).alias("raw"))
+    unit = Normalizer(inputCol="raw", outputCol="unit", p=2.0).transform(vecs)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="unit", outputCol="hashes", bucketLength=0.5, numHashTables=6, seed=SEED
+    )
+    model = lsh.fit(unit)
+    max_dist = (2.0 - 2.0 * threshold) ** 0.5
+    pairs = model.approxSimilarityJoin(unit, unit, max_dist, distCol="euclid")
+
+    a_arr, b_arr = F.col("datasetA.arr"), F.col("datasetB.arr")
+    dot = F.aggregate(
+        F.zip_with(a_arr, b_arr, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    cos = dot / (norm(a_arr) * norm(b_arr))
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_id_a"),
+            F.col("datasetB.vec_id").alias("vec_id_b"),
+            F.round(cos, 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
+
+
 @register(
     "q54_cosine_neardup",
     None,  # tier-2: float accumulation
@@ -236,15 +342,29 @@ def q51_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast matrix + Arrow-batched mapInPandas: each partition "
     "multiplies its rows against the full normalized matrix (numpy "
     "BLAS), emitting id_a < id_b pairs. O(n²/partitions) compute with "
-    "no shuffle — right up to the point the matrix outgrows the "
-    "broadcast budget, where the LSH variants take over.",
+    "no shuffle. The driver-side materialization is CAPPED: the input "
+    "is counted first and if the matrix would exceed "
+    "COSINE_BROADCAST_BUDGET_BYTES the function routes to "
+    "_cosine_pairs_lsh (bucketed candidates + exact JVM verification) "
+    "instead — no unbounded collect() on any input size.",
 )
-def q54_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q54_cosine_neardup(
+    spark: SparkSession, sf_dir: str, broadcast_budget_bytes: int | None = None
+) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    budget = broadcast_budget_bytes or COSINE_BROADCAST_BUDGET_BYTES
     emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    head = emb.select(F.size("embedding").alias("d")).head()
+    dim = int(head["d"]) if head else 0
+    if n * dim * 8 > budget:
+        return _cosine_pairs_lsh(emb, 0.45)
+
+    # bounded-collect: n*dim*8 <= budget was asserted above
     rows = emb.select("vec_id", "embedding").collect()
+    assert len(rows) == n, "embeddings changed size between count and collect"
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)

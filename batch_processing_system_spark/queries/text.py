@@ -75,9 +75,10 @@ def q45_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q46_neardup_jaccard",
-    """
+# Shared by q46 (inverted-index exact) and q42 (MinHashLSH candidates +
+# exact verification): both must produce exactly the Jaccard>=0.6 pairs,
+# so they check against the same ground-truth SQL.
+JACCARD_NEARDUP_SQL = """
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     sh AS (SELECT DISTINCT doc_id,
                   ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS shingle
@@ -91,36 +92,44 @@ def q45_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN n na ON doc_id_a = na.doc_id
     JOIN n nb ON doc_id_b = nb.doc_id
     WHERE 10 * n_common >= 6 * (na.nsh + nb.nsh - n_common)
-    """,
+    """
+
+
+@register(
+    "q46_neardup_jaccard",
+    JACCARD_NEARDUP_SQL,
     doc="X2 exact n-gram Jaccard near-dup (tier-1!) — 5-word shingles, "
-    "inverted-index self-join for intersections, Jaccard ≥ 0.6 decided "
-    "by integer cross-multiplication (no float in the predicate, §2.5 "
-    "D7). Candidate pairs come only from shared shingles — the shingle "
-    "width is the selectivity dial; hot shingles would be dropped by "
-    "document frequency at real scale (the MinHash twin q42 replaces "
-    "this wholesale at 100 TB).",
+    "inverted-index self-join for CANDIDATES, exact Jaccard ≥ 0.6 "
+    "decided by integer cross-multiplication over the full shingle "
+    "sets (no float in the predicate, §2.5 D7). Hot-shingle DF cut: "
+    "shingles present in more than max(5, 0.1% of docs) documents are "
+    "excluded from candidate generation (not from verification), so a "
+    "boilerplate shingle shared by 10% of the corpus can no longer "
+    "make the self-join quadratic — a Jaccard≥0.6 pair shares ~75% of "
+    "its shingles, so it still collides on rare ones (recall asserted "
+    "against planted pairs in tests). The MinHash twin q42 replaces "
+    "this wholesale at 100 TB.",
 )
-def q46_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .similarity import _shingles
+def q46_neardup_jaccard(
+    spark: SparkSession, sf_dir: str, df_cut: int | None = None
+) -> DataFrame:
+    from .similarity import _shingles, _verify_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
+    if df_cut is None:
+        df_cut = max(5, docs.count() // 1000)
     sh = _shingles(docs, n=5)
-    n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
-    a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingle").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingle").alias("sh_b"))
-    inter = (
-        a.join(b, (F.col("sh_a") == F.col("sh_b")) & (F.col("doc_id_a") < F.col("doc_id_b")))
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(dfreq.filter(F.col("df") <= df_cut), "shingle")
+    a = rare.select(F.col("doc_id").alias("da"), "shingle")
+    b = rare.select(F.col("doc_id").alias("db"), "shingle")
+    cand = (
+        a.join(b, ["shingle"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
     )
-    na = n.select(F.col("doc_id").alias("doc_id_a"), F.col("nsh").alias("nsh_a"))
-    nb = n.select(F.col("doc_id").alias("doc_id_b"), F.col("nsh").alias("nsh_b"))
-    return (
-        inter.join(na, "doc_id_a")
-        .join(nb, "doc_id_b")
-        .filter(10 * F.col("n_common") >= 6 * (F.col("nsh_a") + F.col("nsh_b") - F.col("n_common")))
-        .select("doc_id_a", "doc_id_b", "n_common")
-    )
+    return _verify_jaccard_pairs(cand, sh)
 
 
 @register(

@@ -167,14 +167,31 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """,
     doc="W5/T5 sliding window (batch form) — events in the preceding "
-    "hour per row via numeric RANGE frame. Global time-ordered window: "
-    "at 100 TB this becomes partition-by-day with a 1h overlap union "
-    "(each day computes from day∪last-hour-of-previous-day), same frame.",
+    "hour per row via numeric RANGE frame. Day-bucketed so it scales: "
+    "instead of one global time-ordered window (single-partition sort "
+    "of the whole table), every row is assigned to its UTC day, the "
+    "last hour of each day is replicated into the NEXT day's bucket "
+    "(frame lookback is 3600s, so a row never needs data older than "
+    "that), and the RANGE window runs partitioned by day — one shuffle "
+    "on the day key, each partition sorts only its own day. Rows "
+    "carried in as overlap are flagged and dropped after the window, "
+    "so the per-row counts are identical to the global form "
+    "(hash-equality asserted in tests and by the oracle).",
 )
 def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("epoch_s").rangeBetween(-3600, 0)
+    ts = events.select("event_id", F.unix_timestamp("ts").alias("epoch_s"))
+    day = (F.col("epoch_s") / F.lit(86400)).cast("bigint")
+    own = ts.select("event_id", "epoch_s", day.alias("day"), F.lit(False).alias("carried"))
+    # replicate each day's final hour into the next day's bucket; those
+    # rows only FEED the frame there, they are not re-emitted.
+    overlap = ts.filter(F.col("epoch_s") % 86400 >= 86400 - 3600).select(
+        "event_id", "epoch_s", (day + 1).alias("day"), F.lit(True).alias("carried")
+    )
+    w = Window.partitionBy("day").orderBy("epoch_s").rangeBetween(-3600, 0)
     return (
-        events.select("event_id", F.unix_timestamp("ts").alias("epoch_s"))
-        .select("event_id", F.count(F.lit(1)).over(w).alias("cnt_1h"))
+        own.unionAll(overlap)
+        .select("event_id", "carried", F.count(F.lit(1)).over(w).alias("cnt_1h"))
+        .filter(~F.col("carried"))
+        .select("event_id", "cnt_1h")
     )

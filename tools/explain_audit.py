@@ -87,6 +87,17 @@ def main() -> None:
         "q08 shuffles despite broadcast-sized dims",
     )
 
+    # q32: the RANGE window must be day-bucketed — a single-partition
+    # global sort is the first thing to fall over at 100×
+    check(
+        "SinglePartition" not in plans["q32"],
+        "q32 window runs on a single partition (global sort)",
+    )
+    check(
+        re.search(r"hashpartitioning\(day", plans["q32"]) is not None,
+        "q32 window is not partitioned by the day bucket",
+    )
+
     # tier-1 plans stay JVM-side and codegen'd
     for name, spec in sorted(REGISTRY.items()):
         if spec.oracle is None or name not in plans:
