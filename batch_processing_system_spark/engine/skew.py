@@ -70,8 +70,14 @@ def salted_broadcast_left(
     """Join where ``right`` is too big to broadcast but a known set of
     hot keys dominates ``left``: the hot slice of right broadcasts,
     the cold remainder joins normally, results union. Equivalent to
-    ``left.join(right, key, how)`` for inner/left joins."""
-    hot = F.col(key).isin(list(hot_keys))
+    ``left.join(right, key, how)`` for inner/left joins.
+
+    NULL-key handling: ``isin`` evaluates to NULL (not false) for NULL
+    keys, which would drop NULL-key left rows from BOTH branches — a
+    silent row loss under how='left'. The predicate therefore routes
+    NULL keys into the cold branch, where a left join preserves them
+    (they match nothing, same as the direct join)."""
+    hot = F.col(key).isNotNull() & F.col(key).isin(list(hot_keys))
     hot_j = left.filter(hot).join(F.broadcast(right.filter(hot)), key, how)
     cold_j = left.filter(~hot).join(right.filter(~hot), key, how)
     return hot_j.unionByName(cold_j)

@@ -166,13 +166,36 @@ def run_poll_cycle(
         if status != "completed":
             continue
         job = next(j for j in act if j["_id"] == job_id)
-        out_path, err_path = remote.result_files(job["openai_batch_id"])
-        docs, _ = process_results(
-            spark, docs, out_path, err_path, job["output_schema_json"], now
-        )
-        jobs = jobs.withColumn(
-            "status",
-            F.when(F.col("_id") == job_id, F.lit("completed")).otherwise(F.col("status")),
+        # Idempotency guard: a non-null output_file_id means a previous
+        # cycle already fetched and processed this job's results —
+        # re-entering (e.g. after a crash between persisting the jobs
+        # table and the docs table) must not double-$push responses.
+        # The status flip below still runs so the row reaches 'completed'.
+        if job.get("output_file_id"):
+            out_path, err_path = job["output_file_id"], job["error_file_id"]
+            _json_log("INFO", "job_already_processed", "skipping re-process",
+                      job_id=job_id)
+        else:
+            out_path, err_path = remote.result_files(job["openai_batch_id"])
+            docs, _ = process_results(
+                spark, docs, out_path, err_path, job["output_schema_json"], now
+            )
+        # Persist the result-file pointers with the status flip (spec
+        # schema fills output_file_id/error_file_id on completion) so a
+        # crash after this point leaves a resumable, self-describing row.
+        this = F.col("_id") == job_id
+        jobs = (
+            jobs.withColumn(
+                "status", F.when(this, F.lit("completed")).otherwise(F.col("status"))
+            )
+            .withColumn(
+                "output_file_id",
+                F.when(this, F.lit(out_path)).otherwise(F.col("output_file_id")),
+            )
+            .withColumn(
+                "error_file_id",
+                F.when(this, F.lit(err_path)).otherwise(F.col("error_file_id")),
+            )
         )
         _json_log("INFO", "job_completed", "results processed", job_id=job_id)
     return jobs, docs

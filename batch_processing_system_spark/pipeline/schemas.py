@@ -132,13 +132,28 @@ VALIDATION_ERROR_SCHEMA = T.StructType(
 )
 
 # Internal job status machine (/root/reference/README.md:120) and the
-# OpenAI-status → internal transition map (:86-110).
-INTERNAL_STATUSES = ("submitted", "processing", "completed", "failed")
-TERMINAL_REMOTE = {
+# OpenAI-status → internal transition map (:86-110). The spec says the
+# job row is updated "accordingly" for cancelling/cancelled and logged
+# at INFO — so both are carried as internal statuses rather than
+# collapsed into 'failed'. 'cancelling' is NOT terminal: a cancelling
+# batch keeps being polled until the remote reports 'cancelled'.
+INTERNAL_STATUSES = (
+    "submitted",
+    "processing",
+    "completed",
+    "failed",
+    "cancelling",
+    "cancelled",
+)
+REMOTE_TO_INTERNAL = {
     "completed": "processing",  # completed remotely → we start processing results
     "failed": "failed",
     "expired": "failed",
-    "cancelled": "failed",
-    "cancelling": "failed",
+    "cancelled": "cancelled",
+    "cancelling": "cancelling",
 }
+# kept as an alias for external callers of the old name
+TERMINAL_REMOTE = REMOTE_TO_INTERNAL
 TRANSIENT_REMOTE = ("validating", "in_progress", "finalizing")
+# internal statuses excluded from the poll cycle (F3 selection)
+INACTIVE_INTERNAL = ("completed", "failed", "cancelled")

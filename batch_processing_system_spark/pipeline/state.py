@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .schemas import BATCH_JOB_SCHEMA, TERMINAL_REMOTE
+from .schemas import BATCH_JOB_SCHEMA, INACTIVE_INTERNAL, REMOTE_TO_INTERNAL
 
 
 def new_job_row(
@@ -51,18 +51,23 @@ def new_job_row(
 
 def active_jobs(jobs: DataFrame) -> DataFrame:
     """F3: the poll cycle's job selection — ``status NOT IN
-    ('completed','failed')`` (/root/reference/README.md:82). On a real
-    store this predicate pushes down to the status index (:120)."""
-    return jobs.filter(~F.col("status").isin("completed", "failed"))
+    ('completed','failed','cancelled')`` (/root/reference/README.md:82).
+    'cancelling' stays active: the batch is still changing remotely and
+    is polled until it reaches 'cancelled'. On a real store this
+    predicate pushes down to the status index (:120)."""
+    return jobs.filter(~F.col("status").isin(*INACTIVE_INTERNAL))
 
 
 def transition_status(openai_status: Column) -> Column:
     """F4: the OpenAI-status → internal-status map
     (/root/reference/README.md:105-110) as a chained CASE expression:
-    completed→processing (result handling starts), failed/expired/
-    cancelled/cancelling→failed, transient states keep 'submitted'."""
+    completed→processing (result handling starts), failed/expired→
+    failed, cancelled/cancelling carried through verbatim (the spec
+    updates the row 'accordingly' and logs INFO — they are distinct
+    states, and only 'cancelled' is terminal), transient states keep
+    'submitted'."""
     out = None
-    for remote, internal in TERMINAL_REMOTE.items():
+    for remote, internal in REMOTE_TO_INTERNAL.items():
         cond = openai_status == remote
         out = F.when(cond, internal) if out is None else out.when(cond, internal)
     return out.otherwise(F.lit("submitted"))

@@ -51,6 +51,13 @@ def upsert_documents_partitioned(
 
     The per-bucket merge reuses the exact ``upsert_documents``
     expressions — scoping is purely a storage concern.
+
+    Atomicity caveat: this reads and dynamically overwrites the same
+    path; the window between deleting and rewriting a touched bucket is
+    NOT atomic on plain parquet — a job that dies mid-commit can lose
+    touched buckets (untouched buckets are never at risk). A table
+    format with a commit protocol (Delta/Iceberg) closes that window
+    with the same expressions.
     """
     tagged = updates.withColumn(BUCKET_COL, bucket_of(F.col("custom_id"), n_buckets))
     touched = [r[BUCKET_COL] for r in tagged.select(BUCKET_COL).distinct().collect()]
@@ -61,12 +68,22 @@ def upsert_documents_partitioned(
     # scan reads only the touched bucket directories.
     docs = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))
     merged = upsert_documents(docs.drop(BUCKET_COL), tagged.drop(BUCKET_COL))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        merged.withColumn(BUCKET_COL, bucket_of(F.col("_id"), n_buckets))
-        .repartition(BUCKET_COL)
-        .write.mode("overwrite")
-        .partitionBy(BUCKET_COL)
-        .parquet(path)
-    )
+    # dynamic overwrite only for THIS write: restore the session's
+    # previous mode so unrelated writes keep their overwrite semantics
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        (
+            merged.withColumn(BUCKET_COL, bucket_of(F.col("_id"), n_buckets))
+            .repartition(BUCKET_COL)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(path)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
     return sorted(touched)

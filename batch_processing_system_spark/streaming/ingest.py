@@ -36,18 +36,32 @@ def stream_results_into_documents(
     docs_path: str,
     output_schema_json: str,
     checkpoint: str,
-    now,
+    now=None,
     n_buckets: int = 64,
     strict: bool = False,
 ):
     """Wire the stream to the bucketed store. Returns the
     DataStreamWriter (caller picks the trigger: availableNow for
     catch-up runs, processingTime for the reference's 5-minute cadence,
-    /root/reference/README.md:145)."""
+    /root/reference/README.md:145).
+
+    ``now``: the spec stamps each pushed event_response item with the
+    CURRENT timestamp ($push {..., updated: <current_timestamp>}), so
+    by default every micro-batch evaluates its own wall-clock time at
+    merge. Pass a fixed datetime (or a zero-arg callable) to pin it for
+    deterministic tests/replays."""
     outcomes = result_file_stream(spark, incoming_dir)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        updates = build_update_records(batch_df, output_schema_json, now, strict=strict)
+        if now is None:
+            from datetime import datetime, timezone
+
+            batch_now = datetime.now(timezone.utc)
+        elif callable(now):
+            batch_now = now()
+        else:
+            batch_now = now
+        updates = build_update_records(batch_df, output_schema_json, batch_now, strict=strict)
         upsert_documents_partitioned(
             batch_df.sparkSession, docs_path, updates, n_buckets=n_buckets
         )
