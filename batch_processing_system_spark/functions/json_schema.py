@@ -14,9 +14,11 @@ H1):
   bounds). The slow path; only rows that need those features should
   flow through it.
 
-The validator itself is a self-contained subset implementation
-(``jsonschema`` isn't available in this environment); it uses the
-external library when importable.
+The validator itself is a self-contained subset implementation used
+when the ``jsonschema`` library is absent; when importable (as in this
+environment) the real library is preferred, and the subset is
+property-tested against it (tests/test_json_schema_property.py):
+subset-valid must imply library-valid on the supported vocabulary.
 """
 
 from __future__ import annotations
@@ -77,6 +79,23 @@ def compile_json_schema(schema: dict[str, Any] | str) -> T.DataType:
     raise ValueError(f"unsupported JSON Schema type: {typ!r}")
 
 
+def _json_eq(a: Any, b: Any) -> bool:
+    """JSON-semantics equality for enum: numbers compare by value
+    (1 == 1.0) but booleans are NOT numbers (true != 1, unlike Python
+    where ``True == 1``); containers compare element-wise."""
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool) and a is b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return a == b
+    if type(a) is not type(b):
+        return False
+    if isinstance(a, list):
+        return len(a) == len(b) and all(_json_eq(x, y) for x, y in zip(a, b))
+    if isinstance(a, dict):
+        return set(a) == set(b) and all(_json_eq(v, b[k]) for k, v in a.items())
+    return a == b
+
+
 def _validate_subset(value: Any, schema: dict[str, Any], path: str, errors: list[str]) -> None:
     """Minimal JSON-Schema validator: type, required, properties, items,
     enum, pattern, minimum/maximum, minLength/maxLength."""
@@ -123,7 +142,7 @@ def _validate_subset(value: Any, schema: dict[str, Any], path: str, errors: list
         if not isinstance(value, bool):
             errors.append(f"{path}: expected boolean, got {type(value).__name__}")
             return
-    if "enum" in schema and value not in schema["enum"]:
+    if "enum" in schema and not any(_json_eq(value, e) for e in schema["enum"]):
         errors.append(f"{path}: {value!r} not in enum {schema['enum']!r}")
     if isinstance(value, (int, float)) and not isinstance(value, bool):
         if "minimum" in schema and value < schema["minimum"]:

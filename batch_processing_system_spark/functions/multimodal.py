@@ -5,14 +5,18 @@ as Arrow-batched Python over mapInPandas).
 What's real here vs stubbed (this container has no image/audio libs):
 
 - REAL: the Spark plumbing — schemas, mapInPandas batch shape,
-  partition behavior — and pure-Python container-header parsing
-  (PNG/GIF/BMP/JPEG dimensions, WAV sample rate/duration). Header
-  sniffing IS the production shape for metadata extraction: bytes
-  stay in Arrow, no decoder needed.
-- STUBBED: pixel decode, resize, and video frame-sampling raise
-  NotImplementedError unless Pillow / an AV library is importable;
-  the call signatures and output schemas are final so swapping the
-  real library in changes no plan.
+  partition behavior — pure-Python container-header parsing
+  (PNG/GIF/BMP/JPEG dimensions, WAV sample rate/duration), and a
+  pure-stdlib+numpy pixel decode + nearest-neighbor resize for
+  uncompressed 24/32-bit BMP (BI_RGB). Header sniffing IS the
+  production shape for metadata extraction: bytes stay in Arrow, no
+  decoder needed — and the BMP path exercises the full
+  decode→resize→array pipeline end to end.
+- STUBBED: compressed-format pixel decode (PNG/GIF/JPEG need Pillow)
+  and video frame-sampling (needs an AV library) raise
+  NotImplementedError naming the dependency; the call signatures and
+  output schemas are final so swapping the real library in changes
+  no plan.
 """
 
 from __future__ import annotations
@@ -88,27 +92,82 @@ def extract_media_metadata(binary_df: DataFrame) -> DataFrame:
     )
 
 
+def _decode_bmp_rgb(content: bytes):
+    """Decode an uncompressed 24/32-bit BI_RGB BMP to a top-down
+    (h, w, 3) uint8 RGB array — pure struct+numpy, no image library.
+    Returns None for anything that isn't such a BMP."""
+    import numpy as np
+
+    if not content or len(content) < 54 or content[:2] != b"BM":
+        return None
+    data_off = struct.unpack("<I", content[10:14])[0]
+    dib_size = struct.unpack("<I", content[14:18])[0]
+    if dib_size < 40:
+        return None
+    w, h = struct.unpack("<ii", content[18:26])
+    bpp = struct.unpack("<H", content[28:30])[0]
+    compression = struct.unpack("<I", content[30:34])[0]
+    if compression != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        return None
+    top_down, h_abs = h < 0, abs(h)
+    nbytes = bpp // 8
+    stride = ((w * nbytes + 3) // 4) * 4  # rows pad to 4-byte boundaries
+    if len(content) < data_off + stride * h_abs:
+        return None
+    arr = np.frombuffer(content, dtype=np.uint8, count=stride * h_abs, offset=data_off)
+    arr = arr.reshape(h_abs, stride)[:, : w * nbytes].reshape(h_abs, w, nbytes)
+    if not top_down:
+        arr = arr[::-1]
+    return arr[:, :, [2, 1, 0]]  # stored BGR(A) → RGB
+
+
+def _resize_nearest(rgb, width: int, height: int):
+    """Nearest-neighbor resample of a (h, w, 3) array — index
+    arithmetic only, so results are deterministic everywhere."""
+    import numpy as np
+
+    h0, w0 = rgb.shape[:2]
+    ys = np.arange(height) * h0 // height
+    xs = np.arange(width) * w0 // width
+    return rgb[ys][:, xs]
+
+
 def decode_and_resize(binary_df: DataFrame, width: int, height: int) -> DataFrame:
-    """Pixel decode + resize → flattened RGB array column.
+    """Pixel decode + resize → flattened RGB array column, schema
+    (path string, pixels array<int>), row-major top-down RGB triplets.
 
-    Requires Pillow; this container has none, so the stub raises at
-    plan-build time with the exact dependency named. Output schema and
-    batch path are final: (path string, pixels array<int>).
+    Two execution paths, chosen per file inside the Arrow batch:
+    - Pillow, when importable (any format it reads);
+    - a pure-stdlib+numpy decoder for uncompressed 24/32-bit BMP
+      (BI_RGB) with nearest-neighbor resize — always available.
+    A file neither path can decode raises NotImplementedError naming
+    the missing dependency (surfaced through the task failure).
     """
-    if _PIL_Image is None:
-        raise NotImplementedError(
-            "decode_and_resize needs Pillow (PIL) which is not installed; "
-            "metadata extraction (extract_media_metadata) works without it"
-        )
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
         for pdf in batches:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                img = _PIL_Image.open(io.BytesIO(content)).convert("RGB").resize((width, height))
-                rows.append((path, [b for px in img.getdata() for b in px]))
+                if _PIL_Image is not None:  # pragma: no cover - lib absent here
+                    img = (
+                        _PIL_Image.open(io.BytesIO(content))
+                        .convert("RGB")
+                        .resize((width, height))
+                    )
+                    rows.append((path, [b for px in img.getdata() for b in px]))
+                    continue
+                rgb = _decode_bmp_rgb(bytes(content) if content is not None else b"")
+                if rgb is None:
+                    raise NotImplementedError(
+                        f"decode_and_resize: {path!r} is not an uncompressed "
+                        "BMP and Pillow (PIL) is not installed; install "
+                        "Pillow for PNG/GIF/JPEG decode"
+                    )
+                rows.append(
+                    (path, [int(v) for v in _resize_nearest(rgb, width, height).ravel()])
+                )
             yield pd.DataFrame(rows, columns=["path", "pixels"])
 
     return binary_df.select("path", "content").mapInPandas(

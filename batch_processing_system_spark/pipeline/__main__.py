@@ -1,0 +1,176 @@
+"""Deployable CLI for the pipeline — the spec's two entrypoints as
+subcommands (/root/reference/README.md:20-53,79-110):
+
+    python -m batch_processing_system_spark.pipeline submit \
+        --jsonl req.jsonl --schema-file schema.json \
+        --docs /state/docs --jobs /state/jobs --remote /state/remote
+
+        Maps POST /process-batch: validates, uploads, creates the
+        batch, persists the job row + in_progress marks, and prints
+        the spec's 202 body ({"job_id": ...}, exit 0) or 400 body
+        ({"error": "Validation Failed", "details": [...]}, exit 2)
+        on stdout.
+
+    python -m batch_processing_system_spark.pipeline poll \
+        --docs /state/docs --jobs /state/jobs --remote /state/remote
+
+        One tick of the scheduled poller (the spec's
+        Cloud-Scheduler-triggered script): polls every active job,
+        applies transitions, processes completed results, persists
+        state, prints a JSON summary.
+
+State lives in parquet snapshot dirs (--jobs, --docs); the remote
+boundary is a DirectoryRemote rooted at --remote (swap for an HTTP
+client object in a real deployment — same four-method seam).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .localremote import DirectoryRemote
+from .run import run_poll_cycle, submit_batch
+from .schemas import BATCH_JOB_SCHEMA, DOCUMENT_SCHEMA
+from .state import active_jobs
+
+
+def _get_spark() -> SparkSession:
+    from ..engine.session import get_spark
+
+    return get_spark("pipeline-cli")
+
+
+def _read_state(spark: SparkSession, path: str, schema) -> DataFrame:
+    if os.path.exists(path):
+        return spark.read.schema(schema).parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+def _rewrite_state(df: DataFrame, path: str) -> None:
+    """Snapshot replace: materialize to <path>.new (reads the old
+    snapshot while it still exists), then swap. The window between rm
+    and rename is the same non-atomic caveat as storage.py — a table
+    format closes it in production."""
+    tmp = path + ".new"
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+
+
+def _parse_now(value: str | None):
+    if value is None:
+        return datetime.now(timezone.utc).replace(tzinfo=None)
+    return datetime.fromisoformat(value)
+
+
+def cmd_submit(args: argparse.Namespace) -> int:
+    spark = _get_spark()
+    if args.schema_file:
+        schema_json = open(args.schema_file).read()
+    else:
+        schema_json = args.schema_json
+    docs = _read_state(spark, args.docs, DOCUMENT_SCHEMA)
+    jobs = _read_state(spark, args.jobs, BATCH_JOB_SCHEMA)
+    remote = DirectoryRemote(args.remote)
+    job_id = args.job_id or f"job-{uuid.uuid4().hex[:12]}"
+
+    out = submit_batch(
+        spark,
+        args.jsonl,
+        schema_json,
+        docs,
+        remote,
+        job_id,
+        _parse_now(args.now),
+        collection_name=args.collection,
+        mongodb_uri=args.mongodb_uri,
+    )
+    if out.errors:
+        details = [
+            {k: v for k, v in e.items() if v is not None} for e in out.errors
+        ]
+        print(json.dumps({"error": "Validation Failed", "details": details}))
+        return 2
+    _rewrite_state(jobs.unionByName(out.jobs), args.jobs)
+    _rewrite_state(out.marked_docs, args.docs)
+    print(json.dumps({"job_id": out.job_id}))
+    return 0
+
+
+def cmd_poll(args: argparse.Namespace) -> int:
+    spark = _get_spark()
+    docs = _read_state(spark, args.docs, DOCUMENT_SCHEMA)
+    jobs = _read_state(spark, args.jobs, BATCH_JOB_SCHEMA)
+    remote = DirectoryRemote(args.remote)
+    n_active_before = active_jobs(jobs).count()
+
+    new_jobs, new_docs = run_poll_cycle(spark, jobs, docs, remote, _parse_now(args.now))
+    # persist docs BEFORE jobs: if we die between the two writes, the
+    # job row still lacks its result pointers / completed status, so the
+    # next tick re-polls and the output_file_id guard in run_poll_cycle
+    # keeps the re-entry idempotent.
+    _rewrite_state(new_docs, args.docs)
+    _rewrite_state(new_jobs, args.jobs)
+
+    statuses = {
+        r["status"]: r["n"]
+        for r in new_jobs.sparkSession.read.parquet(args.jobs)
+        .groupBy("status")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    print(
+        json.dumps(
+            {
+                "polled": n_active_before,
+                "active_after": int(
+                    active_jobs(spark.read.schema(BATCH_JOB_SCHEMA).parquet(args.jobs)).count()
+                ),
+                "status_counts": statuses,
+            }
+        )
+    )
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="python -m batch_processing_system_spark.pipeline")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("submit", help="validate + submit a batch (POST /process-batch)")
+    s.add_argument("--jsonl", required=True, help="request JSONL file")
+    g = s.add_mutually_exclusive_group(required=True)
+    g.add_argument("--schema-json", help="output JSON Schema as a string")
+    g.add_argument("--schema-file", help="file containing the output JSON Schema")
+    s.add_argument("--docs", required=True, help="documents parquet dir")
+    s.add_argument("--jobs", required=True, help="batch_jobs parquet dir")
+    s.add_argument("--remote", required=True, help="DirectoryRemote root")
+    s.add_argument("--collection", default="documents")
+    s.add_argument("--mongodb-uri", default="store://local")
+    s.add_argument("--job-id", default=None, help="fixed job id (tests)")
+    s.add_argument("--now", default=None, help="ISO timestamp override (tests)")
+    s.set_defaults(fn=cmd_submit)
+
+    p = sub.add_parser("poll", help="one scheduled poller tick")
+    p.add_argument("--docs", required=True)
+    p.add_argument("--jobs", required=True)
+    p.add_argument("--remote", required=True)
+    p.add_argument("--now", default=None, help="ISO timestamp override (tests)")
+    p.set_defaults(fn=cmd_poll)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -29,6 +29,23 @@ def make_gif(w, h):
     return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 32
 
 
+def make_bmp(pixels_rgb):
+    """Minimal bottom-up 24-bit BI_RGB BMP from a row-major top-down
+    list of RGB rows, with the spec's 4-byte row padding."""
+    h = len(pixels_rgb)
+    w = len(pixels_rgb[0])
+    stride = ((w * 3 + 3) // 4) * 4
+    body = b""
+    for row in reversed(pixels_rgb):  # bottom-up storage order
+        line = b"".join(bytes((b, g, r)) for (r, g, b) in row)
+        body += line + b"\x00" * (stride - len(line))
+    header = (
+        b"BM" + struct.pack("<I", 54 + len(body)) + b"\x00" * 4 + struct.pack("<I", 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    )
+    return header + body
+
+
 def make_wav(sample_rate=16000, seconds=2):
     byte_rate = sample_rate * 2
     data = b"\x00" * (byte_rate * seconds)
@@ -85,11 +102,45 @@ class TestMetadataExtraction:
         )
 
 
+RED, GREEN, BLUE, WHITE = (255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)
+
+
+class TestBmpDecode:
+    def test_decode_known_pixels(self, spark, tmp_path):
+        d = tmp_path / "bmps"
+        d.mkdir()
+        (d / "img.bmp").write_bytes(make_bmp([[RED, GREEN], [BLUE, WHITE]]))
+        df = read_binary_dir(spark, str(d))
+        [row] = decode_and_resize(df, 2, 2).collect()
+        # top-down row-major RGB triplets
+        assert row["pixels"] == [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+
+    def test_nearest_neighbor_resize(self, spark, tmp_path):
+        d = tmp_path / "bmps2"
+        d.mkdir()
+        # 4x2 image of vertical half-red / half-blue → downsample to 2x1
+        rows = [[RED, RED, BLUE, BLUE]] * 2
+        (d / "img.bmp").write_bytes(make_bmp(rows))
+        df = read_binary_dir(spark, str(d))
+        [row] = decode_and_resize(df, 2, 1).collect()
+        assert row["pixels"] == [255, 0, 0, 0, 0, 255]
+
+    def test_row_padding_respected(self, spark, tmp_path):
+        # width 3 → 9-byte rows padded to 12; padding must not leak in
+        d = tmp_path / "bmps3"
+        d.mkdir()
+        (d / "img.bmp").write_bytes(make_bmp([[RED, GREEN, BLUE]]))
+        df = read_binary_dir(spark, str(d))
+        [row] = decode_and_resize(df, 3, 1).collect()
+        assert row["pixels"] == [255, 0, 0, 0, 255, 0, 0, 0, 255]
+
+
 class TestStubs:
-    def test_decode_stub_names_dependency(self, spark, media_dir):
-        df = read_binary_dir(spark, media_dir)
-        with pytest.raises(NotImplementedError, match="Pillow"):
-            decode_and_resize(df, 8, 8)
+    def test_decode_of_compressed_format_names_dependency(self, spark, media_dir):
+        # without Pillow, non-BMP inputs fail at execution, naming the lib
+        df = read_binary_dir(spark, media_dir, glob="*.png")
+        with pytest.raises(Exception, match="Pillow"):
+            decode_and_resize(df, 8, 8).collect()
 
     def test_frame_sampling_stub(self, spark, media_dir):
         with pytest.raises(NotImplementedError, match="AV decoder"):
