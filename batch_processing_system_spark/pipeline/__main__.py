@@ -29,41 +29,24 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import shutil
 import sys
 import uuid
 from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 
 from .localremote import DirectoryRemote
 from .run import run_poll_cycle, submit_batch
 from .schemas import BATCH_JOB_SCHEMA, DOCUMENT_SCHEMA
 from .state import active_jobs
+from .statestore import read_state as _read_state
+from .statestore import rewrite_state as _rewrite_state
 
 
 def _get_spark() -> SparkSession:
     from ..engine.session import get_spark
 
     return get_spark("pipeline-cli")
-
-
-def _read_state(spark: SparkSession, path: str, schema) -> DataFrame:
-    if os.path.exists(path):
-        return spark.read.schema(schema).parquet(path)
-    return spark.createDataFrame([], schema)
-
-
-def _rewrite_state(df: DataFrame, path: str) -> None:
-    """Snapshot replace: materialize to <path>.new (reads the old
-    snapshot while it still exists), then swap. The window between rm
-    and rename is the same non-atomic caveat as storage.py — a table
-    format closes it in production."""
-    tmp = path + ".new"
-    df.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.replace(tmp, path)
 
 
 def _parse_now(value: str | None):
@@ -143,6 +126,15 @@ def cmd_poll(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_serve(args: argparse.Namespace) -> int:
+    from .server import make_server
+
+    srv = make_server(_get_spark(), args.docs, args.jobs, args.remote, args.port)
+    print(json.dumps({"listening": srv.server_address[1]}), flush=True)
+    srv.serve_forever()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="python -m batch_processing_system_spark.pipeline")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -167,6 +159,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--remote", required=True)
     p.add_argument("--now", default=None, help="ISO timestamp override (tests)")
     p.set_defaults(fn=cmd_poll)
+
+    v = sub.add_parser("serve", help="HTTP endpoint: POST /process-batch")
+    v.add_argument("--docs", required=True)
+    v.add_argument("--jobs", required=True)
+    v.add_argument("--remote", required=True)
+    v.add_argument("--port", type=int, default=8080, help="0 = ephemeral")
+    v.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)
     return args.fn(args)

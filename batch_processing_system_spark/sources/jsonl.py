@@ -11,10 +11,18 @@ exists because validation errors must report positions
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
+
+# read_jsonl_with_lines funnels through a single-partition window for
+# exact line numbers — fine for a driver-edge uploaded file, wrong for
+# bulk ingest. The guard makes pointing it at something huge an
+# explicit error instead of a silent single-core crawl.
+MAX_LINE_NUMBERED_BYTES = 256 << 20
 
 
 def read_jsonl(
@@ -43,8 +51,16 @@ def read_jsonl_with_lines(
     Scale note: the global window makes this a single-partition pass —
     correct for the driver-edge validation of an uploaded request file
     (MBs); for TB-scale line-numbered ingest, numbering would switch to
-    a per-file zipWithIndex with per-split offsets.
+    a per-file zipWithIndex with per-split offsets. A size guard
+    (MAX_LINE_NUMBERED_BYTES) rejects inputs that clearly aren't
+    uploaded request files.
     """
+    if os.path.isfile(path) and os.path.getsize(path) > MAX_LINE_NUMBERED_BYTES:
+        raise ValueError(
+            f"read_jsonl_with_lines is for driver-edge uploads; {path!r} is "
+            f"{os.path.getsize(path)} bytes (> {MAX_LINE_NUMBERED_BYTES}). "
+            "Use read_jsonl (no line numbers) or a per-split numbering scheme."
+        )
     raw = spark.read.text(path)
     w = Window.orderBy(F.monotonically_increasing_id())
     return raw.select(

@@ -57,6 +57,52 @@ class TestQ46HotShingleCut:
         plan = q46_neardup_jaccard(spark, SF_MEDIUM, df_cut=5)._jdf.queryExecution().toString()
         assert re.search(r"df#\d+L? <= 5", plan), "DF-cut filter missing from plan"
 
+    def test_pathological_boilerplate_corpus(self, spark, tmp_path):
+        """The round-1 verdict's failure scenario: one boilerplate
+        shingle shared by 10% of the corpus. Without the DF cut the
+        self-join goes quadratic in the cluster size; with it, the
+        boilerplate contributes zero candidates while a genuinely
+        near-duplicate pair (whose shared shingles are rare) is still
+        found."""
+        from batch_processing_system_spark.engine.io import load_table
+        from batch_processing_system_spark.queries.similarity import _shingles
+
+        boiler = "alpha beta gamma delta epsilon zeta"  # 6 words = 2 5-shingles
+        rows = []
+        for i in range(300):
+            unique = " ".join(f"u{i}x{j}" for j in range(20))
+            rows.append((i, f"{boiler} {unique}" if i < 30 else unique))
+        base = " ".join(f"p{j}" for j in range(30))
+        rows += [(1000, base), (1001, base + " extraword")]
+        spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "documents.parquet"))
+        sf_dir = str(tmp_path)
+
+        # recall: only the planted pair is a true near-dup, and it survives the cut
+        out = {(r[0], r[1]) for r in q46_neardup_jaccard(spark, sf_dir).collect()}
+        assert out == {(1000, 1001)}
+
+        # candidate volume: the cut removes the quadratic cluster
+        sh = _shingles(load_table(spark, sf_dir, "documents"), n=5)
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+
+        def n_candidates(shingle_df):
+            a = shingle_df.select(F.col("doc_id").alias("da"), "shingle")
+            b = shingle_df.select(F.col("doc_id").alias("db"), "shingle")
+            return (
+                a.join(b, ["shingle"])
+                .filter(F.col("da") < F.col("db"))
+                .select("da", "db")
+                .distinct()
+                .count()
+            )
+
+        uncut = n_candidates(sh)
+        cut = n_candidates(sh.join(dfreq.filter(F.col("df") <= 5), "shingle"))
+        assert uncut >= 30 * 29 // 2  # boilerplate cluster alone is quadratic
+        assert cut == 1  # exactly the planted pair survives candidate generation
+
 
 class TestQ54BoundedCollect:
     def test_lsh_fallback_same_pairs(self, spark):
