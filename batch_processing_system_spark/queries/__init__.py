@@ -72,6 +72,7 @@ def _ensure_loaded() -> None:
         pipeline_queries,
         extras,
         analytics,
+        curation,
     )
 
     _LOADED = True

@@ -1,0 +1,187 @@
+"""Training-data curation operators (north-star families "dedup" and
+"text analysis" composed): near-duplicate clustering and the
+end-to-end curation pipeline a 100 TB pretraining corpus runs daily.
+
+Both queries are tier-1: the near-dup pair set is exact (q46
+semantics), min-label connected components are deterministic, and the
+train/holdout split uses md5-prefix hashing (engine-portable, unlike
+rand() or xxhash64).
+
+Scale posture:
+- q74: iterative min-label propagation — each iteration is one
+  bounded equi-join + groupBy on the PAIR GRAPH (near-dup pairs, a
+  vanishing fraction of the corpus), never on the corpus itself.
+  Iterations = graph diameter (near-dup clusters are tiny cliques;
+  ≤ a handful of rounds). localCheckpoint per round truncates the
+  plan so lineage cannot grow superlinearly.
+- q75: one corpus scan for quality + hashing, then joins against the
+  (small) dedup survivors and near-dup pair sets; split assignment is
+  a map-side digest prefix — deterministic across engines, runs, and
+  repartitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine.io import load_table
+from . import register
+from .text import JACCARD_NEARDUP_SQL, q46_neardup_jaccard
+
+_COMPONENTS_ORACLE = f"""
+    WITH RECURSIVE
+    pairs AS (SELECT doc_id_a, doc_id_b FROM ({JACCARD_NEARDUP_SQL}) jp),
+    edges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+              UNION SELECT doc_id_b, doc_id_a FROM pairs),
+    reach(src, dst) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+    FROM reach GROUP BY src
+"""
+
+
+@register(
+    "q74_neardup_components",
+    _COMPONENTS_ORACLE,
+    doc="X2 near-duplicate clustering — connected components over the "
+    "exact Jaccard>=0.6 pair graph by iterative min-label propagation "
+    "(label(v) <- min(label(v), min label of neighbors) until fixed "
+    "point), the canonical-survivor assignment of a dedup pipeline. "
+    "Oracle: DuckDB recursive-CTE transitive closure over the same "
+    "pairs. The driver-side convergence loop is the standard Spark "
+    "shape for iterative graph algorithms (Pregel-style); per-round "
+    "cost is one join on the pair graph only.",
+)
+def q74_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q46_neardup_jaccard(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    return connected_components(pairs)
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected pair list
+    (doc_id_a, doc_id_b) → (doc_id, component) for every vertex, where
+    component = the minimum doc_id reachable. Converges in diameter
+    rounds; every round is one equi-join + groupBy on the edge list."""
+    edges = (
+        pairs.select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
+        .unionAll(pairs.select(F.col("doc_id_b").alias("a"), F.col("doc_id_a").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    # Size the loop's parallelism to the pair graph, not the session
+    # default: near-dup edges are a vanishing fraction of the corpus,
+    # and iterating 32-partition shuffles over a few dozen rows buys
+    # nothing but scheduling overhead. ~100k edges per partition keeps
+    # a billion-edge graph at cluster-scale parallelism.
+    n_parts = max(1, edges.count() // 100_000)
+    edges = edges.coalesce(n_parts)
+    # fused round 0: label = min(self, direct neighbors) — for the
+    # clique-shaped clusters near-dup graphs produce, this alone is the
+    # fixed point and the loop only confirms convergence
+    labels = (
+        edges.groupBy("a")
+        .agg(F.least(F.col("a"), F.min("b")).alias("component"))
+        .select(F.col("a").alias("doc_id"), "component")
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("b"), F.col("component").alias("nbr_comp")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nbr_comp").alias("min_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["a"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce("min_nbr", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+
+
+_CURATION_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+               len(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS n_uniq,
+               md5(text) AS h
+        FROM documents
+    ),
+    q AS (SELECT * FROM toks WHERE n_tokens >= 10 AND n_uniq * 10 >= n_tokens * 3),
+    ex AS (SELECT q.* FROM q
+           JOIN (SELECT h, MIN(doc_id) AS keep FROM q GROUP BY h) k
+             ON q.doc_id = k.keep),
+    nd AS (SELECT DISTINCT doc_id_b FROM ({JACCARD_NEARDUP_SQL}) jp)
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                     BETWEEN '0' AND 'c'
+                THEN 'train' ELSE 'holdout' END AS split
+    FROM ex WHERE doc_id NOT IN (SELECT doc_id_b FROM nd)
+"""
+
+
+@register(
+    "q75_curation_pipeline",
+    _CURATION_ORACLE,
+    doc="X1/X2/X4 composed — the canonical pretraining-corpus curation "
+    "pass: quality gate (>=10 tokens, type/token ratio >= 0.3 by "
+    "integer cross-multiplication), exact dedup (min-doc_id survivor "
+    "per content digest), near-dup removal (drop the doc_id_b side of "
+    "every exact-Jaccard pair), deterministic ~81/19 train/holdout "
+    "split by md5 digest prefix of the id. One corpus scan computes "
+    "tokens+digest; the dedup/near-dup sides are digest-sized and "
+    "pair-sized joins; the split is map-side — the whole pipeline is "
+    "corpus-scan-bound at 100 TB.",
+)
+def q75_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks_arr = F.filter(F.split("text", " "), lambda w: w != "")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks_arr).alias("n_tokens"),
+        F.size(F.array_distinct(toks_arr)).alias("n_uniq"),
+        F.md5(F.encode("text", "UTF-8")).alias("h"),
+    )
+    q = toks.filter(
+        (F.col("n_tokens") >= 10) & (F.col("n_uniq") * 10 >= F.col("n_tokens") * 3)
+    )
+    keep = q.groupBy("h").agg(F.min("doc_id").alias("keep"))
+    ex = q.join(keep, q["doc_id"] == keep["keep"]).select(
+        "doc_id", "lang", "n_tokens"
+    )
+    nd = q46_neardup_jaccard(spark, sf_dir).select(
+        F.col("doc_id_b").alias("doc_id")
+    ).distinct()
+    survivors = ex.join(nd, "doc_id", "left_anti")
+    prefix = F.substring(
+        F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 1
+    )
+    return survivors.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.when(prefix.between("0", "c"), F.lit("train"))
+        .otherwise(F.lit("holdout"))
+        .alias("split"),
+    )
