@@ -41,9 +41,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # rejects by default. Read nanos as BIGINT and truncate to µs —
         # exactly what DuckDB's TIMESTAMP_NS→µs comparisons do (SURVEY §2.5
         # D6). Runtime-settable, so it works under the driver's session too.
+        # Type-guarded: a derived events table (e.g. the scale probe's
+        # replicas) already carries a true TIMESTAMP and needs no fix-up.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
