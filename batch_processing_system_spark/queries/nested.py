@@ -79,3 +79,29 @@ def q70_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.map_keys(m)).alias("ks"),
         F.element_at(m, "k").alias("v_k"),
     )
+
+
+@register(
+    "q76_variant",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+    """,
+    doc="C1/C6 semi-structured VARIANT path (Spark 4): parse_json into "
+    "an open-schema VARIANT once, then typed variant_get extraction — "
+    "the engine's answer to schema-on-read JSON at 100 TB, where "
+    "binary-encoded variants avoid re-parsing text per access "
+    "(shredded columnar storage applies the same expressions). "
+    "Filter + derived bucket stay whole-stage-codegen'd.",
+)
+def q76_variant(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return (
+        events.select("event_id", k.alias("k"), (k % 10).alias("k_bucket"))
+        .filter(F.col("k") >= 50)
+    )

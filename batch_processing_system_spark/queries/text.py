@@ -118,7 +118,10 @@ def q46_neardup_jaccard(
     docs = load_table(spark, sf_dir, "documents")
     if df_cut is None:
         df_cut = max(5, docs.count() // 1000)
-    sh = _shingles(docs, n=5)
+    # the shingle set feeds document frequencies, candidate generation,
+    # AND verification — materialize it once instead of re-exploding
+    # the corpus for each consumer
+    sh = _shingles(docs, n=5).localCheckpoint(eager=True)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = sh.join(dfreq.filter(F.col("df") <= df_cut), "shingle")
     a = rare.select(F.col("doc_id").alias("da"), "shingle")
