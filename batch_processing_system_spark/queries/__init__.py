@@ -73,6 +73,7 @@ def _ensure_loaded() -> None:
         extras,
         analytics,
         curation,
+        packing,
     )
 
     _LOADED = True

@@ -1,0 +1,218 @@
+"""Training-set assembly operators (north-star: what sits between a
+curated corpus and the trainer): sequence packing, train/eval
+contamination detection, and deterministic training-order shuffling.
+
+All three are tier-1 — every random-looking choice is an md5-prefix
+hash or a document-id ordering, so DuckDB reproduces the exact output.
+
+Scale posture:
+- q77: packing is per-SHARD (doc_id % 8 here; an input split or date
+  partition at 100 TB), so the running-offset window partitions by
+  shard — no global single-partition sort. Each shard's pack is
+  independent, which is exactly how multi-worker tokenizer/packer
+  jobs shard in practice.
+- q78: inverted-index equi-join on 8-gram → candidate pairs only from
+  shared grams, never an all-pairs product (same shape as q46). An
+  8-gram that occurs in a large fraction of documents is boilerplate,
+  not contamination — at production scale add the q46-style
+  document-frequency cut before the join; at test vocabulary size the
+  collision rate is ~|doc|/31^8 so the cut is a no-op and omitted to
+  keep the oracle 1:1.
+- q79: the shuffle key is a per-row digest (map-side, no shuffle to
+  compute); ordering is materialized only WITHIN each of 64 buckets,
+  so the sort parallelizes and no stage ever sees a global order.
+  Readers stream buckets in id order for a reproducible epoch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..engine.io import load_table
+from . import register
+
+PACK_BUDGET = 256  # tokens per packed training sequence
+PACK_SHARDS = 8
+SHUFFLE_SEED = "shuffle-seed-42:"
+SHUFFLE_BUCKETS = 64
+
+
+@register(
+    "q77_seq_packing",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+      WHERE len(string_split(text, ' ')) > 0
+    ),
+    offs AS (
+      SELECT doc_id, shard, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+      FROM toks
+    ),
+    spans AS (
+      SELECT doc_id, shard, n_tok, end_off - n_tok AS start_off, end_off,
+             CAST((end_off - n_tok) // {PACK_BUDGET} AS BIGINT) AS seq_first,
+             CAST((end_off - 1) // {PACK_BUDGET} AS BIGINT) AS seq_last
+      FROM offs
+    )
+    SELECT shard, CAST(s.seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(least(end_off, (s.seq_id+1)*{PACK_BUDGET})
+                - greatest(start_off, s.seq_id*{PACK_BUDGET}) AS BIGINT) AS tok_in_seq
+    FROM spans, UNNEST(generate_series(seq_first, seq_last)) AS s(seq_id)
+    """,
+    doc="Sequence packing (concat-and-chunk, GPT-pretraining style): "
+    "documents are laid end-to-end per shard in doc_id order and cut "
+    "into fixed 256-token training sequences; a document spanning a "
+    "cut contributes a row per sequence it touches, with its token "
+    "count inside that sequence. One narrow scan, a per-shard running "
+    "sum (window partitioned by shard — never global), and a "
+    "generator explode; no Python. This is the op that turns a "
+    "curated corpus into trainer input, and the per-shard structure "
+    "is what makes it embarrassingly parallel at 100 TB.",
+)
+def q77_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.lit(PACK_BUDGET)
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = toks.select(
+        "doc_id",
+        "shard",
+        "n_tok",
+        F.sum("n_tok").over(w).alias("end_off"),
+    ).select(
+        "doc_id",
+        "shard",
+        (F.col("end_off") - F.col("n_tok")).alias("start_off"),
+        "end_off",
+    )
+    spans = spans.select(
+        "doc_id",
+        "shard",
+        "start_off",
+        "end_off",
+        F.floor(F.col("start_off") / b).alias("seq_first"),
+        F.floor((F.col("end_off") - 1) / b).alias("seq_last"),
+    )
+    return spans.select(
+        "shard",
+        F.explode(F.sequence("seq_first", "seq_last")).alias("seq_id"),
+        "doc_id",
+        "start_off",
+        "end_off",
+    ).select(
+        "shard",
+        "seq_id",
+        "doc_id",
+        (
+            F.least(F.col("end_off"), (F.col("seq_id") + 1) * b)
+            - F.greatest(F.col("start_off"), F.col("seq_id") * b)
+        ).alias("tok_in_seq"),
+    )
+
+
+@register(
+    "q78_contamination",
+    """
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+                            w[i+4], w[i+5], w[i+6], w[i+7]) AS gram
+      FROM ws, UNNEST(generate_series(1, len(w)-7)) AS t(i)
+      WHERE len(w) >= 8
+    ),
+    ev AS (SELECT doc_id, gram FROM grams WHERE doc_id % 10 = 0),
+    tr AS (SELECT doc_id, gram FROM grams WHERE doc_id % 10 <> 0)
+    SELECT tr.doc_id AS train_doc_id, ev.doc_id AS eval_doc_id,
+           count(*) AS n_shared_grams
+    FROM tr JOIN ev USING (gram)
+    GROUP BY 1, 2
+    """,
+    doc="Train/eval contamination detection — the benchmark-leakage "
+    "audit every pretraining corpus needs: distinct 8-gram inverted "
+    "index over both splits (eval = doc_id%10==0 stand-in for a held "
+    "out benchmark), equi-join on the gram, count shared grams per "
+    "(train, eval) pair. Candidates arise only from shared grams — "
+    "the join never goes all-pairs, and at 100 TB the eval side is "
+    "tiny and broadcastable. Same inverted-index shape as q46.",
+)
+def q78_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(
+        F.size("ws") >= 8
+    )
+    idx = F.sequence(F.lit(0), F.size("ws") - 8)
+    grams = (
+        words.select("doc_id", F.explode(idx).alias("i"), "ws")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", *[F.element_at("ws", F.col("i") + k + 1) for k in range(8)]
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    ev = grams.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "gram"
+    )
+    tr = grams.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "gram"
+    )
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+@register(
+    "q79_det_shuffle",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(concat('{SHUFFLE_SEED}', CAST(doc_id AS VARCHAR))) AS skey
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, skey,
+             ('0x' || substr(skey, 1, 4))::BIGINT % {SHUFFLE_BUCKETS} AS bucket
+      FROM keyed
+    )
+    SELECT bucket, doc_id,
+           CAST(row_number() OVER (PARTITION BY bucket
+                                   ORDER BY skey, doc_id) AS BIGINT) AS pos
+    FROM bucketed
+    """,
+    doc="Deterministic training-order shuffle — seeded md5 digest per "
+    "document as the shuffle key, 64 hash buckets from the digest "
+    "prefix, position assigned WITHIN each bucket (readers concatenate "
+    "buckets 0..63 for the epoch order). Reproducible across runs, "
+    "engines, and partitionings — unlike rand() — and the window "
+    "partitions by bucket, so no global sort materializes anywhere. "
+    "At 100 TB: buckets map to output files; a new epoch is a new "
+    "seed string, nothing is re-shuffled on disk.",
+)
+def q79_det_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    skey = F.md5(F.concat(F.lit(SHUFFLE_SEED), F.col("doc_id").cast("string")))
+    keyed = docs.select("doc_id", skey.alias("skey")).withColumn(
+        "bucket", F.conv(F.substring("skey", 1, 4), 16, 10).cast("long") % SHUFFLE_BUCKETS
+    )
+    w = Window.partitionBy("bucket").orderBy("skey", "doc_id")
+    return keyed.select(
+        "bucket", "doc_id", F.row_number().over(w).cast("long").alias("pos")
+    )
