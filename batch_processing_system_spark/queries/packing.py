@@ -1,9 +1,10 @@
 """Training-set assembly operators (north-star: what sits between a
 curated corpus and the trainer): sequence packing, train/eval
-contamination detection, and deterministic training-order shuffling.
+contamination detection, deterministic training-order shuffling,
+within-document repetition filtering, and domain-mix sampling.
 
-All three are tier-1 — every random-looking choice is an md5-prefix
-hash or a document-id ordering, so DuckDB reproduces the exact output.
+All tier-1 — every random-looking choice is an md5-prefix hash or a
+document-id ordering, so DuckDB reproduces the exact output.
 
 Scale posture:
 - q77: packing is per-SHARD (doc_id % 8 here; an input split or date
@@ -124,6 +125,38 @@ def q77_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def contamination_pairs(docs: DataFrame, eval_mod: int = 10, n: int = 8) -> DataFrame:
+    """Distinct n-gram inverted-index overlap between the train split
+    (doc_id % eval_mod != 0) and the eval split (== 0) of ``docs``
+    (columns doc_id, text). The eval side is broadcast — at production
+    scale the held-out benchmark is always tiny relative to the corpus."""
+    words = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(
+        F.size("ws") >= n
+    )
+    idx = F.sequence(F.lit(0), F.size("ws") - n)
+    grams = (
+        words.select("doc_id", F.explode(idx).alias("i"), "ws")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", *[F.element_at("ws", F.col("i") + k + 1) for k in range(n)]
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    ev = grams.filter(F.col("doc_id") % eval_mod == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "gram"
+    )
+    tr = grams.filter(F.col("doc_id") % eval_mod != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "gram"
+    )
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
 @register(
     "q78_contamination",
     """
@@ -152,30 +185,107 @@ def q77_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q78_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(
-        F.size("ws") >= 8
+    return contamination_pairs(docs)
+
+
+@register(
+    "q80_repetition",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, len(w)), i -> concat_ws(' ', w[i], w[i+1])) AS grams
+      FROM t WHERE len(w) >= 2
     )
-    idx = F.sequence(F.lit(0), F.size("ws") - 8)
-    grams = (
-        words.select("doc_id", F.explode(idx).alias("i"), "ws")
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ", *[F.element_at("ws", F.col("i") + k + 1) for k in range(8)]
-            ).alias("gram"),
-        )
-        .distinct()
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_uniq,
+           ROUND(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 4) AS rep_frac,
+           (1.0 - len(list_distinct(grams))::DOUBLE / len(grams)) > 0.05 AS repetitive
+    FROM g
+    """,
+    doc="Within-document repetition filter (the Gopher-family quality "
+    "rule 'fraction of duplicate n-grams'): duplicate-bigram fraction "
+    "per document via JVM higher-order array functions (transform + "
+    "array_distinct) — one narrow scan, ZERO shuffles, no explode. "
+    "rep_frac is an exact rational of two ints so the double division "
+    "is bit-identical across engines. At 100 TB this runs as a "
+    "map-only pass fused into the ingest scan.",
+)
+def q80_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    docs = docs.select("doc_id", ws.alias("w")).filter(F.size("w") >= 2)
+    idx = F.sequence(F.lit(0), F.size("w") - 2)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at("w", i + 1), F.element_at("w", i + 2)
+        ),
     )
-    ev = grams.filter(F.col("doc_id") % 10 == 0).select(
-        F.col("doc_id").alias("eval_doc_id"), "gram"
+    t = docs.select(
+        "doc_id",
+        F.size(grams).cast("long").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_uniq"),
     )
-    tr = grams.filter(F.col("doc_id") % 10 != 0).select(
-        F.col("doc_id").alias("train_doc_id"), "gram"
+    rep = F.lit(1.0) - F.col("n_uniq").cast("double") / F.col("n_grams")
+    return t.select(
+        "doc_id",
+        "n_grams",
+        "n_uniq",
+        F.round(rep, 4).alias("rep_frac"),
+        (rep > 0.05).alias("repetitive"),
     )
-    return (
-        tr.join(F.broadcast(ev), "gram")
-        .groupBy("train_doc_id", "eval_doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+
+
+MIX_SEED = "mix-seed-42:"
+
+
+@register(
+    "q81_domain_mix",
+    f"""
+    WITH rated AS (
+      SELECT doc_id, source,
+             CASE WHEN CAST(substr(source, 4) AS BIGINT) < 5 THEN 1.0
+                  WHEN CAST(substr(source, 4) AS BIGINT) < 12 THEN 0.5
+                  ELSE 0.25 END AS rate,
+             ('0x' || substr(md5(concat('{MIX_SEED}', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+      FROM documents
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (u < rate) AS BIGINT) AS n_kept,
+           ROUND(CAST(any_value(rate) AS DOUBLE), 4) AS rate
+    FROM rated GROUP BY source
+    """,
+    doc="Domain-mixing sampler — the data-mixture step of a pretraining "
+    "pipeline: each source gets a target sampling rate (here a "
+    "deterministic 1.0/0.5/0.25 tiering by source index; in production "
+    "the rate map comes from the mixture spec) and each document is "
+    "kept iff its seeded md5-prefix uniform draw falls under the rate. "
+    "Deterministic across runs/engines/partitionings (no rand()), "
+    "map-side predicate (zero shuffle before the audit aggregation), "
+    "and re-weighting is a seed/rate change — not a data move. Emits "
+    "the per-source kept/total audit table.",
+)
+def q81_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    src_idx = F.substring("source", 4, 10).cast("long")
+    rate = (
+        F.when(src_idx < 5, F.lit(1.0))
+        .when(src_idx < 12, F.lit(0.5))
+        .otherwise(F.lit(0.25))
+    )
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit(MIX_SEED), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long") / F.lit(4294967296.0)
+    rated = docs.select("doc_id", "source", rate.alias("rate"), u.alias("u"))
+    return rated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("u") < F.col("rate"), 1)).alias("n_kept"),
+        F.round(F.first("rate"), 4).alias("rate"),
     )
 
 

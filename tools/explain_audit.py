@@ -9,8 +9,12 @@ the plan invariants that matter at 100 TB:
 - broadcast joins:  dimension joins (q08, q20, q55) use
                     BroadcastHashJoin, never shuffle both sides
 - no Python in tier-1: no BatchEvalPython/ArrowEvalPython stage in any
-                    hash-checked query (UDFs allowed only in tier-2
-                    mapInPandas variants)
+                    hash-checked query. Queries whose declared surface
+                    IS the Arrow batch path (q54 mapInPandas, q63
+                    applyInPandas) show MapInPandas /
+                    FlatMapGroupsInPandas operators instead — those are
+                    the intended vectorized exchanges, not accidental
+                    per-expression Python, and are allowed.
 - codegen:          every tier-1 plan has whole-stage-codegen spans
                     (``[codegen id : N]`` markers in formatted output)
 
@@ -96,6 +100,29 @@ def main() -> None:
     check(
         re.search(r"hashpartitioning\(day", plans["q32"]) is not None,
         "q32 window is not partitioned by the day bucket",
+    )
+
+    # training-set assembly: running-offset / position windows must be
+    # sharded, never a global sort
+    for q, key in (("q77_seq_packing", "shard"), ("q79_det_shuffle", "bucket")):
+        check(
+            "SinglePartition" not in plans[q],
+            f"{q} window runs on a single partition (global sort)",
+        )
+        check(
+            re.search(rf"hashpartitioning\({key}", plans[q]) is not None,
+            f"{q} window is not partitioned by {key}",
+        )
+    # q78: the (small) eval split must broadcast into the gram join
+    check(
+        "BroadcastHashJoin" in plans["q78_contamination"],
+        "q78 eval-side gram join is not broadcast",
+    )
+    # q80: repetition scoring is per-row higher-order array work — it
+    # must compile to a map-only plan with no shuffle whatsoever
+    check(
+        "Exchange" not in plans["q80_repetition"],
+        "q80 shuffles despite being a per-row computation",
     )
 
     # tier-1 plans stay JVM-side and codegen'd
