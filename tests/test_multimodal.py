@@ -135,16 +135,136 @@ class TestBmpDecode:
         assert row["pixels"] == [255, 0, 0, 0, 255, 0, 0, 0, 255]
 
 
+def _lzw_encode_simple(mcs, indices):
+    """Deliberately-naive GIF LZW encoder for fixtures: emits CLEAR
+    before every literal so the code table never grows — an independent
+    implementation from the decoder under test."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    out, acc, accn = bytearray(), 0, 0
+
+    def emit(code):
+        nonlocal acc, accn
+        acc |= code << accn
+        accn += width
+        while accn >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            accn -= 8
+
+    emit(clear)
+    for i in indices:
+        emit(i)
+        emit(clear)
+    emit(end)
+    if accn:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+PALETTE4 = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+
+
+def make_animated_gif(frames_indices, w, h, delays_cs, palette=PALETTE4):
+    """Animated GIF with a 4-color global palette, full-screen
+    non-interlaced frames, one GCE delay per frame."""
+    flags = 0x80 | 0x01  # GCT present, 2<<1 = 4 entries
+    out = bytearray(b"GIF89a" + struct.pack("<HHBBB", w, h, flags, 0, 0))
+    for r, g, b in palette:
+        out += bytes((r, g, b))
+    for idxs, delay in zip(frames_indices, delays_cs):
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        data = _lzw_encode_simple(2, idxs)
+        out += bytes([2])
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00\x3b"[:1]
+    out += b"\x3b"
+    return bytes(out)
+
+
+def make_sine_wav(sample_rate=16000, seconds=1, freq=1000, amp=0.5):
+    import math
+
+    n = sample_rate * seconds
+    data = b"".join(
+        struct.pack("<h", int(amp * 32767 * math.sin(2 * math.pi * freq * i / sample_rate)))
+        for i in range(n)
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+class TestAudioFeatures:
+    def test_sine_wave_features(self, spark, tmp_path):
+        from batch_processing_system_spark.functions.multimodal import (
+            extract_audio_features,
+        )
+
+        (tmp_path / "s.wav").write_bytes(make_sine_wav())
+        row = extract_audio_features(
+            read_binary_dir(spark, str(tmp_path))
+        ).collect()[0]
+        assert (row["sample_rate"], row["channels"], row["bits"]) == (16000, 1, 16)
+        assert row["n_samples"] == 16000 and row["duration_ms"] == 1000
+        # full-cycle sine: rms = amp/sqrt(2), peak = amp, 2 crossings/cycle
+        assert abs(row["rms"] - 0.5 / 2**0.5) < 1e-3
+        assert abs(row["peak"] - 0.5) < 1e-3
+        assert abs(row["zero_crossings"] - 2000) <= 2
+
+    def test_non_pcm_names_codec_gap(self, spark, media_dir):
+        from batch_processing_system_spark.functions.multimodal import (
+            extract_audio_features,
+        )
+
+        df = read_binary_dir(spark, media_dir, glob="*.png")
+        with pytest.raises(Exception, match="codec"):
+            extract_audio_features(df).collect()
+
+
+class TestFrameSampling:
+    def _two_frame_gif(self):
+        f0 = [0, 1, 2, 3]  # 2x2: red green / blue white
+        f1 = [3, 2, 1, 0]
+        return make_animated_gif([f0, f1], 2, 2, delays_cs=[5, 5])
+
+    def test_samples_decode_to_palette_rgb(self, spark, tmp_path):
+        (tmp_path / "anim.gif").write_bytes(self._two_frame_gif())
+        rows = sample_video_frames(
+            read_binary_dir(spark, str(tmp_path)), every_ms=50
+        ).collect()
+        got = {r["frame_idx"]: r for r in rows}
+        assert set(got) == {0, 1}
+        assert (got[0]["frame_ms"], got[1]["frame_ms"]) == (0, 50)
+        assert got[0]["width"] == 2 and got[0]["height"] == 2
+        flat = lambda px: b"".join(bytes(PALETTE4[i]) for i in px)
+        assert bytes(got[0]["frame_rgb"]) == flat([0, 1, 2, 3])
+        assert bytes(got[1]["frame_rgb"]) == flat([3, 2, 1, 0])
+
+    def test_sampling_cadence_skips_frames(self, spark, tmp_path):
+        (tmp_path / "anim.gif").write_bytes(self._two_frame_gif())
+        rows = sample_video_frames(
+            read_binary_dir(spark, str(tmp_path)), every_ms=100
+        ).collect()
+        assert [r["frame_idx"] for r in rows] == [0]
+
+    def test_non_gif_names_av_dependency(self, spark, media_dir):
+        df = read_binary_dir(spark, media_dir, glob="*.wav")
+        with pytest.raises(Exception, match="AV decoder"):
+            sample_video_frames(df, 1000).collect()
+
+
 class TestStubs:
     def test_decode_of_compressed_format_names_dependency(self, spark, media_dir):
         # without Pillow, non-BMP inputs fail at execution, naming the lib
         df = read_binary_dir(spark, media_dir, glob="*.png")
         with pytest.raises(Exception, match="Pillow"):
             decode_and_resize(df, 8, 8).collect()
-
-    def test_frame_sampling_stub(self, spark, media_dir):
-        with pytest.raises(NotImplementedError, match="AV decoder"):
-            sample_video_frames(read_binary_dir(spark, media_dir), 1000)
 
 
 class TestLanguageId:
