@@ -197,6 +197,55 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q82_hll_union",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS hll_ok
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE FROM events
+    """,
+    doc="A6 mergeable cardinality sketches (Spark 3.5+ DataSketches "
+    "HLL): one hll_sketch_agg per event_type, then the GLOBAL count "
+    "derived by hll_union_agg over the per-group sketches — no second "
+    "scan. Mergeability is the property that matters at 100 TB: "
+    "partition- or day-level sketches roll up to any coarser grain "
+    "without touching the data again (the same math that lets a "
+    "1000-executor job pre-aggregate per task). Oracle restatement as "
+    "in q35: exact counts plus a ±10%-bracket boolean per row, TRUE "
+    "iff the sketch holds its guarantee.",
+)
+def q82_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    sk = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    per = sk.select(
+        "event_type", "exact_users", F.hll_sketch_estimate("sk").alias("est")
+    )
+    union_row = (
+        sk.agg(F.hll_union_agg("sk").alias("u"))
+        .crossJoin(events.agg(F.countDistinct("user_id").alias("exact_users")))
+        .select(
+            F.lit("ALL").alias("event_type"),
+            "exact_users",
+            F.hll_sketch_estimate("u").alias("est"),
+        )
+    )
+    out = per.unionByName(union_row)
+    ok = (F.col("est") >= F.col("exact_users") * 0.9) & (
+        F.col("est") <= F.col("exact_users") * 1.1
+    )
+    return out.select(
+        "event_type",
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        ok.alias("hll_ok"),
+    )
+
+
+@register(
     "q44",
     """
     SELECT lang,
