@@ -381,3 +381,61 @@ def q63_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select("event_id", "user_id", "value").groupBy("user_id").applyInPandas(
         zscore, "event_id bigint, user_id bigint, z double"
     )
+
+
+@register(
+    "q83_cogrouped_map",
+    """
+    WITH p AS (
+      SELECT user_id, count(*) AS n_purchases, max(value) AS max_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    e AS (
+      SELECT user_id, count(*) AS n_errors
+      FROM events WHERE event_type = 'error' GROUP BY user_id
+    )
+    SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+           COALESCE(n_purchases, 0) AS n_purchases,
+           max_purchase,
+           COALESCE(n_errors, 0) AS n_errors
+    FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
+    """,
+    doc="U3b co-grouped map — the second grouped-Arrow surface: "
+    "groupBy().cogroup().applyInPandas aligns BOTH sides of a key "
+    "(purchase events, error events) into one pandas call per user — "
+    "the per-key reconcile/merge shape (spec's per-job result-vs-error "
+    "processing, /root/reference/README.md:93-124) without a join. "
+    "Cogroup is full-outer on keys; empty sides arrive as empty "
+    "frames. Only order-free reductions (count/max) are emitted, so "
+    "the pandas path is hash-identical to the FULL OUTER JOIN oracle. "
+    "At 100 TB both sides shuffle once on user_id and stream through "
+    "Arrow batches per key group.",
+)
+def q83_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "value"
+    )
+    errors = events.filter(F.col("event_type") == "error").select("user_id")
+
+    def reconcile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        mx = left["value"].max() if len(left) else None
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_purchases": [len(left)],
+                "max_purchase": [None if mx is None or pd.isna(mx) else float(mx)],
+                "n_errors": [len(right)],
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(errors.groupBy("user_id"))
+        .applyInPandas(
+            reconcile,
+            "user_id bigint, n_purchases bigint, max_purchase double, n_errors bigint",
+        )
+    )
