@@ -125,16 +125,15 @@ def q77_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def contamination_pairs(docs: DataFrame, eval_mod: int = 10, n: int = 8) -> DataFrame:
-    """Distinct n-gram inverted-index overlap between the train split
-    (doc_id % eval_mod != 0) and the eval split (== 0) of ``docs``
-    (columns doc_id, text). The eval side is broadcast — at production
-    scale the held-out benchmark is always tiny relative to the corpus."""
+def distinct_word_ngrams(docs: DataFrame, n: int = 8) -> DataFrame:
+    """(doc_id, gram) distinct word n-grams of a (doc_id, text) frame —
+    the shared feature extractor of the batch contamination audit (q78)
+    and the streaming contamination screen."""
     words = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(
         F.size("ws") >= n
     )
     idx = F.sequence(F.lit(0), F.size("ws") - n)
-    grams = (
+    return (
         words.select("doc_id", F.explode(idx).alias("i"), "ws")
         .select(
             "doc_id",
@@ -144,6 +143,14 @@ def contamination_pairs(docs: DataFrame, eval_mod: int = 10, n: int = 8) -> Data
         )
         .distinct()
     )
+
+
+def contamination_pairs(docs: DataFrame, eval_mod: int = 10, n: int = 8) -> DataFrame:
+    """Distinct n-gram inverted-index overlap between the train split
+    (doc_id % eval_mod != 0) and the eval split (== 0) of ``docs``
+    (columns doc_id, text). The eval side is broadcast — at production
+    scale the held-out benchmark is always tiny relative to the corpus."""
+    grams = distinct_word_ngrams(docs, n)
     ev = grams.filter(F.col("doc_id") % eval_mod == 0).select(
         F.col("doc_id").alias("eval_doc_id"), "gram"
     )
