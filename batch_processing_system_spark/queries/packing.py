@@ -78,10 +78,16 @@ SHUFFLE_BUCKETS = 64
 )
 def q77_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    b = F.lit(PACK_BUDGET)
+    return pack_sequences(docs, budget=PACK_BUDGET, shards=PACK_SHARDS)
+
+
+def pack_sequences(docs: DataFrame, budget: int, shards: int) -> DataFrame:
+    """Concat-and-chunk packing core over a (doc_id, text) frame —
+    parametrized for property tests; q77 binds the catalog constants."""
+    b = F.lit(budget)
     toks = docs.select(
         "doc_id",
-        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        (F.col("doc_id") % shards).alias("shard"),
         F.size(F.split("text", " ")).cast("long").alias("n_tok"),
     ).filter(F.col("n_tok") > 0)
     w = (

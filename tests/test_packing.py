@@ -102,6 +102,50 @@ class TestDetShuffle:
         assert first_bucket != list(range(n0))
 
 
+class TestPackingProperties:
+    """Hypothesis cross-check: pack random corpora at random budgets
+    against a pure-Python reference packer."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    corpus = st.lists(
+        st.integers(min_value=0, max_value=12),  # words per doc (0 = dropped)
+        min_size=1,
+        max_size=30,
+    )
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(sizes=corpus, budget=st.integers(min_value=1, max_value=20))
+    def test_matches_reference_packer(self, spark, sizes, budget):
+        from batch_processing_system_spark.queries.packing import pack_sequences
+
+        rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(sizes)]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {
+            (r["shard"], r["seq_id"], r["doc_id"]): r["tok_in_seq"]
+            for r in pack_sequences(docs, budget=budget, shards=3).collect()
+        }
+        # reference: lay docs end-to-end per shard in doc_id order
+        want = {}
+        offsets = {}
+        for i, n in enumerate(rows):
+            doc_id, text = rows[i]
+            n_tok = len(text.split()) if text else 0
+            # split("", " ") yields [''] (size 1) — mirror Spark exactly
+            n_tok = max(n_tok, 1) if text == "" else n_tok
+            if n_tok == 0:
+                continue
+            shard = doc_id % 3
+            start = offsets.get(shard, 0)
+            end = start + n_tok
+            offsets[shard] = end
+            for seq in range(start // budget, (end - 1) // budget + 1):
+                lo, hi = max(start, seq * budget), min(end, (seq + 1) * budget)
+                want[(shard, seq, doc_id)] = hi - lo
+        assert got == want
+
+
 class TestDomainMix:
     def test_kept_fraction_tracks_rate(self, spark):
         rows = q81_domain_mix(spark, SF_SMALL).collect()
