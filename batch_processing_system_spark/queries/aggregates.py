@@ -246,6 +246,41 @@ def q82_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q84_bitmap_distinct",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+    """,
+    doc="A6b exact mergeable distinct via bitmaps (Spark 3.5+ bitmap "
+    "functions) — q82's HLL pattern with zero error: user_ids map to "
+    "(bucket, bit position), bitmap_construct_agg builds one bitmap "
+    "per (event_type, bucket), bitmap_count sums per type, and the "
+    "GLOBAL count comes from bitmap_or_agg merging the per-type "
+    "bitmaps — again no second scan. This is how a 100 TB pipeline "
+    "materializes exact distinct-user rollups: per-partition bitmaps "
+    "are small, mergeable to any grain, and the only shuffle carries "
+    "bitmaps, not ids. Oracle: plain COUNT(DISTINCT) — bit-exact.",
+)
+def q84_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bm = events.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bkt")
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+    per = bm.groupBy("event_type").agg(
+        F.expr("sum(bitmap_count(bm))").cast("bigint").alias("n_users")
+    )
+    global_row = (
+        bm.groupBy("bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(F.expr("sum(bitmap_count(bm))").cast("bigint").alias("n_users"))
+        .select(F.lit("ALL").alias("event_type"), "n_users")
+    )
+    return per.unionByName(global_row)
+
+
+@register(
     "q44",
     """
     SELECT lang,
