@@ -8,16 +8,20 @@ What's real here vs stubbed (this container has no image/audio libs):
   partition behavior — pure-Python container-header parsing
   (PNG/GIF/BMP/JPEG dimensions, WAV sample rate/duration), a
   pure-stdlib+numpy pixel decode + nearest-neighbor resize for
-  uncompressed 24/32-bit BMP (BI_RGB), integer-PCM WAV decode with
-  signal features (RMS/peak/zero-crossings over the mono mix), and
-  animated-GIF frame sampling with a pure-Python LZW decoder +
-  palette mapping. Every modality (image pixels, audio samples,
-  motion frames) has at least one real end-to-end decode path.
-- STUBBED: compressed-image pixel decode (PNG/JPEG need Pillow),
-  compressed audio (needs a codec lib), and true video containers
-  (mp4/webm need PyAV/ffmpeg) raise NotImplementedError naming the
-  dependency; the call signatures and output schemas are final so
-  swapping the real library in changes no plan.
+  uncompressed 24/32-bit BMP (BI_RGB) AND for PNG (stdlib zlib
+  inflate + all five scanline filters, color types
+  gray/RGB/palette/gray-alpha/RGBA at bit depth 8), integer-PCM WAV
+  decode with signal features (RMS/peak/zero-crossings over the mono
+  mix), and animated-GIF frame sampling with a pure-Python LZW
+  decoder + palette mapping. Every still-image fixture format and
+  every modality (image pixels, audio samples, motion frames) has a
+  real end-to-end decode path.
+- STUBBED: JPEG pixel decode (needs Pillow — DCT entropy coding is
+  out of stdlib reach), compressed audio (needs a codec lib), and
+  true video containers (mp4/webm need PyAV/ffmpeg) raise
+  NotImplementedError naming the dependency; the call signatures and
+  output schemas are final so swapping the real library in changes
+  no plan.
 """
 
 from __future__ import annotations
@@ -122,6 +126,108 @@ def _decode_bmp_rgb(content: bytes):
     return arr[:, :, [2, 1, 0]]  # stored BGR(A) → RGB
 
 
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytearray:
+    """Reverse PNG scanline filtering (spec filters 0-4: None, Sub, Up,
+    Average, Paeth) over ``h`` scanlines of ``stride`` bytes, each
+    preceded by its filter-type byte. Sequential by construction — each
+    reconstructed byte depends on the one ``bpp`` back and the row
+    above — so this is a per-file Python loop inside the Arrow batch;
+    vectorizing across files, not within one, is the scale axis."""
+    out = bytearray(h * stride)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        if ft > 4:
+            raise ValueError(f"bad PNG filter type {ft}")
+        row = y * stride
+        up = row - stride
+        for x in range(stride):
+            fx = raw[pos + x]
+            a = out[row + x - bpp] if x >= bpp else 0
+            b = out[up + x] if y > 0 else 0
+            if ft == 0:
+                r = fx
+            elif ft == 1:
+                r = fx + a
+            elif ft == 2:
+                r = fx + b
+            elif ft == 3:
+                r = fx + ((a + b) >> 1)
+            else:  # Paeth
+                c = out[up + x - bpp] if (y > 0 and x >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                r = fx + (a if pa <= pb and pa <= pc else b if pb <= pc else c)
+            out[row + x] = r & 0xFF
+        pos += stride
+    return out
+
+
+# (channels in the raw scanline, has-palette) per PNG color type
+_PNG_COLOR_TYPES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _decode_png_rgb(content: bytes):
+    """Decode a non-interlaced 8-bit PNG (color types 0 gray, 2 RGB,
+    3 palette, 4 gray+alpha, 6 RGBA) to a top-down (h, w, 3) uint8 RGB
+    array — stdlib zlib + struct + numpy only, no Pillow. Alpha is
+    dropped (no compositing), palette entries are looked up from PLTE.
+    Returns None for non-PNG bytes; raises NotImplementedError for PNG
+    variants (16-bit, sub-byte depths, Adam7 interlace) that need a
+    real image library."""
+    import zlib
+
+    import numpy as np
+
+    if not content or content[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, plte, idat = 8, None, None, bytearray()
+    while pos + 8 <= len(content):
+        (clen,), ctype = struct.unpack(">I", content[pos : pos + 4]), content[pos + 4 : pos + 8]
+        body = content[pos + 8 : pos + 8 + clen]
+        pos += 12 + clen  # length + type + body + CRC (CRC not verified)
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if color not in _PNG_COLOR_TYPES:
+        raise ValueError(f"bad PNG color type {color}")
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} interlace={interlace} is beyond the "
+            "stdlib decoder (8-bit non-interlaced only); install Pillow"
+        )
+    ch = _PNG_COLOR_TYPES[color]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    arr = np.frombuffer(bytes(_png_unfilter(raw, h, stride, ch)), dtype=np.uint8)
+    arr = arr.reshape(h, w, ch)
+    if color == 2:
+        return arr
+    if color == 6:
+        return arr[:, :, :3]
+    if color == 0:
+        return np.repeat(arr, 3, axis=2)
+    if color == 4:
+        return np.repeat(arr[:, :, :1], 3, axis=2)
+    # color == 3: palette lookup
+    if plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    pal = np.frombuffer(plte, dtype=np.uint8)
+    pal = pal.reshape(len(pal) // 3, 3)
+    return pal[arr[:, :, 0]]
+
+
 def _resize_nearest(rgb, width: int, height: int):
     """Nearest-neighbor resample of a (h, w, 3) array — index
     arithmetic only, so results are deterministic everywhere."""
@@ -139,8 +245,10 @@ def decode_and_resize(binary_df: DataFrame, width: int, height: int) -> DataFram
 
     Two execution paths, chosen per file inside the Arrow batch:
     - Pillow, when importable (any format it reads);
-    - a pure-stdlib+numpy decoder for uncompressed 24/32-bit BMP
-      (BI_RGB) with nearest-neighbor resize — always available.
+    - pure-stdlib+numpy decoders — always available — for uncompressed
+      24/32-bit BMP (BI_RGB) and for 8-bit non-interlaced PNG (zlib
+      inflate + scanline unfilter, gray/RGB/palette/alpha color
+      types), both with nearest-neighbor resize.
     A file neither path can decode raises NotImplementedError naming
     the missing dependency (surfaced through the task failure).
     """
@@ -159,12 +267,15 @@ def decode_and_resize(binary_df: DataFrame, width: int, height: int) -> DataFram
                     )
                     rows.append((path, [b for px in img.getdata() for b in px]))
                     continue
-                rgb = _decode_bmp_rgb(bytes(content) if content is not None else b"")
+                data = bytes(content) if content is not None else b""
+                rgb = _decode_bmp_rgb(data)
+                if rgb is None:
+                    rgb = _decode_png_rgb(data)
                 if rgb is None:
                     raise NotImplementedError(
-                        f"decode_and_resize: {path!r} is not an uncompressed "
-                        "BMP and Pillow (PIL) is not installed; install "
-                        "Pillow for PNG/GIF/JPEG decode"
+                        f"decode_and_resize: {path!r} is neither an "
+                        "uncompressed BMP nor a PNG, and Pillow (PIL) is "
+                        "not installed; install Pillow for GIF/JPEG decode"
                     )
                 rows.append(
                     (path, [int(v) for v in _resize_nearest(rgb, width, height).ravel()])

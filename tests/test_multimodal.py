@@ -259,10 +259,147 @@ class TestFrameSampling:
             sample_video_frames(df, 1000).collect()
 
 
+def _png_chunk(ctype, body):
+    import zlib
+
+    return (
+        struct.pack(">I", len(body)) + ctype + body
+        + struct.pack(">I", zlib.crc32(ctype + body))
+    )
+
+
+def make_real_png(pixels, color_type, filters=None, palette=None, split_idat=False):
+    """Independent PNG encoder for fixtures: FORWARD-filters each
+    scanline (the inverse direction of the decoder under test) with a
+    per-row filter type — cycling through all five by default — then
+    deflates. ``pixels`` is rows of per-pixel tuples (or ints for
+    1-channel types)."""
+    import zlib
+
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    h, w = len(pixels), len(pixels[0])
+    rows = [
+        bytes(
+            v
+            for px in row
+            for v in ((px,) if isinstance(px, int) else tuple(px))
+        )
+        for row in pixels
+    ]
+    stride = w * ch
+    raw = bytearray()
+    prev = bytes(stride)
+    for y, row in enumerate(rows):
+        ft = (filters or [0, 1, 2, 3, 4])[y % len(filters or [0, 1, 2, 3, 4])]
+        raw.append(ft)
+        for x in range(stride):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ft == 0:
+                v = row[x]
+            elif ft == 1:
+                v = row[x] - a
+            elif ft == 2:
+                v = row[x] - b
+            elif ft == 3:
+                v = row[x] - ((a + b) >> 1)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                v = row[x] - (a if pa <= pb and pa <= pc else b if pb <= pc else c)
+            raw.append(v & 0xFF)
+        prev = row
+    png = b"\x89PNG\r\n\x1a\n" + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    )
+    if palette is not None:
+        png += _png_chunk(b"PLTE", b"".join(bytes(p) for p in palette))
+    z = zlib.compress(bytes(raw))
+    if split_idat:  # decoders must concatenate IDAT chunks
+        png += _png_chunk(b"IDAT", z[: len(z) // 2]) + _png_chunk(b"IDAT", z[len(z) // 2 :])
+    else:
+        png += _png_chunk(b"IDAT", z)
+    return png + _png_chunk(b"IEND", b"")
+
+
+def _decode_one(spark, tmp_path, name, data, w, h):
+    (tmp_path / name).write_bytes(data)
+    [row] = decode_and_resize(read_binary_dir(spark, str(tmp_path)), w, h).collect()
+    return list(row["pixels"])
+
+
+class TestPngDecode:
+    """Stdlib PNG decode vs the independent forward-filtering encoder
+    above — every filter type and color type the spec's 8-bit
+    non-interlaced profile allows."""
+
+    def _pattern(self, h, w, ch):
+        # varied gradient so Sub/Up/Average/Paeth all do real work
+        return [
+            [tuple((13 * y + 29 * x + 57 * k) % 256 for k in range(ch)) for x in range(w)]
+            for y in range(h)
+        ]
+
+    def test_rgb_all_five_filters(self, spark, tmp_path):
+        px = self._pattern(5, 4, 3)  # 5 rows → filters 0..4 each used
+        got = _decode_one(spark, tmp_path, "a.png", make_real_png(px, 2), 4, 5)
+        assert got == [v for row in px for p in row for v in p]
+
+    def test_rgba_alpha_dropped(self, spark, tmp_path):
+        px = self._pattern(5, 3, 4)
+        got = _decode_one(spark, tmp_path, "a.png", make_real_png(px, 6), 3, 5)
+        assert got == [v for row in px for p in row for v in p[:3]]
+
+    def test_grayscale_replicated(self, spark, tmp_path):
+        px = [[(7 * y + 31 * x) % 256 for x in range(4)] for y in range(5)]
+        got = _decode_one(spark, tmp_path, "a.png", make_real_png(px, 0), 4, 5)
+        assert got == [v for row in px for g in row for v in (g, g, g)]
+
+    def test_gray_alpha(self, spark, tmp_path):
+        px = self._pattern(5, 3, 2)
+        got = _decode_one(spark, tmp_path, "a.png", make_real_png(px, 4), 3, 5)
+        assert got == [v for row in px for p in row for v in (p[0],) * 3]
+
+    def test_palette_lookup(self, spark, tmp_path):
+        idx = [[0, 1], [2, 3]]
+        data = make_real_png(idx, 3, palette=PALETTE4)
+        got = _decode_one(spark, tmp_path, "a.png", data, 2, 2)
+        assert got == [v for row in idx for i in row for v in PALETTE4[i]]
+
+    def test_multi_idat_chunks(self, spark, tmp_path):
+        px = self._pattern(6, 6, 3)
+        data = make_real_png(px, 2, split_idat=True)
+        got = _decode_one(spark, tmp_path, "a.png", data, 6, 6)
+        assert got == [v for row in px for p in row for v in p]
+
+    def test_resize_matches_bmp_path(self, spark, tmp_path):
+        # same 4x2 half-red/half-blue image as the BMP resize test
+        px = [[RED, RED, BLUE, BLUE]] * 2
+        got = _decode_one(spark, tmp_path, "a.png", make_real_png(px, 2), 2, 1)
+        assert got == [255, 0, 0, 0, 0, 255]
+
+    def test_interlaced_names_pillow(self, spark, tmp_path):
+        data = make_real_png(self._pattern(2, 2, 3), 2)
+        # flip the IHDR interlace byte (offset: 8 sig + 8 hdr + 12 into IHDR)
+        data = bytearray(data)
+        data[8 + 8 + 12] = 1
+        ihdr = bytes(data[8 + 8 : 8 + 8 + 13])
+        import zlib as _z
+
+        data[8 + 8 + 13 : 8 + 8 + 17] = struct.pack(">I", _z.crc32(b"IHDR" + ihdr))
+        (tmp_path / "i.png").write_bytes(bytes(data))
+        with pytest.raises(Exception, match="Pillow"):
+            decode_and_resize(read_binary_dir(spark, str(tmp_path)), 2, 2).collect()
+
+
 class TestStubs:
-    def test_decode_of_compressed_format_names_dependency(self, spark, media_dir):
-        # without Pillow, non-BMP inputs fail at execution, naming the lib
-        df = read_binary_dir(spark, media_dir, glob="*.png")
+    def test_decode_of_jpeg_names_dependency(self, spark, tmp_path):
+        # without Pillow, JPEG inputs fail at execution, naming the lib
+        (tmp_path / "x.jpg").write_bytes(
+            b"\xff\xd8\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 64
+        )
+        df = read_binary_dir(spark, str(tmp_path))
         with pytest.raises(Exception, match="Pillow"):
             decode_and_resize(df, 8, 8).collect()
 
