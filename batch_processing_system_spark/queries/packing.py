@@ -151,11 +151,52 @@ def distinct_word_ngrams(docs: DataFrame, n: int = 8) -> DataFrame:
     )
 
 
-def contamination_pairs(docs: DataFrame, eval_mod: int = 10, n: int = 8) -> DataFrame:
+def screened_grams(
+    grams: DataFrame, df_cut: int, keep_rarest: int, doc_col: str = "doc_id"
+) -> DataFrame:
+    """Hot-gram screen over a (doc, gram) frame: keep a gram for
+    matching iff its document frequency is <= ``df_cut`` OR it is among
+    the document's ``keep_rarest`` rarest grams (ties broken by gram
+    text, so the kept set is deterministic and reproducible in SQL).
+
+    The cut kills boilerplate: one license-header 8-gram present in 10%
+    of a real corpus would otherwise fan the gram join out quadratically
+    before the groupBy. The per-doc exemption closes the cut's blind
+    spot: a document duplicated more than df_cut times has NO sub-cut
+    gram (its own copy count makes every gram hot), yet wholesale
+    duplication is exactly what a contamination/dedup screen must
+    catch — its rarest grams stay matchable, and candidates from an
+    exempt gram are bounded by the true duplicate count, i.e. by the
+    size of the finding itself."""
+    dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    gd = grams.join(dfreq, "gram")
+    rare = gd.filter(F.col("df") <= df_cut).select(doc_col, "gram")
+    per_doc = Window.partitionBy(doc_col).orderBy("df", "gram")
+    rarest_k = (
+        gd.withColumn("rn", F.row_number().over(per_doc))
+        .filter(F.col("rn") <= keep_rarest)
+        .select(doc_col, "gram")
+    )
+    return rare.union(rarest_k).distinct()
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    eval_mod: int = 10,
+    n: int = 8,
+    df_cut: int | None = None,
+    keep_rarest: int = 20,
+) -> DataFrame:
     """Distinct n-gram inverted-index overlap between the train split
     (doc_id % eval_mod != 0) and the eval split (== 0) of ``docs``
     (columns doc_id, text). The eval side is broadcast — at production
-    scale the held-out benchmark is always tiny relative to the corpus."""
+    scale the held-out benchmark is always tiny relative to the corpus.
+    Train-side grams pass the hot-gram screen (``screened_grams``)
+    first, so shared-boilerplate grams count as zero evidence while a
+    train doc that wholesale-copies an eval doc stays detectable via
+    its exempt rarest grams. n_shared_grams therefore counts shared
+    SCREENED grams — distinctive overlap, not boilerplate overlap —
+    and the oracle SQL reproduces the screen exactly."""
     grams = distinct_word_ngrams(docs, n)
     ev = grams.filter(F.col("doc_id") % eval_mod == 0).select(
         F.col("doc_id").alias("eval_doc_id"), "gram"
@@ -163,8 +204,12 @@ def contamination_pairs(docs: DataFrame, eval_mod: int = 10, n: int = 8) -> Data
     tr = grams.filter(F.col("doc_id") % eval_mod != 0).select(
         F.col("doc_id").alias("train_doc_id"), "gram"
     )
+    if df_cut is None:
+        n_train = docs.filter(F.col("doc_id") % eval_mod != 0).count()
+        df_cut = max(5, n_train // 1000)
+    kept = screened_grams(tr, df_cut, keep_rarest, doc_col="train_doc_id")
     return (
-        tr.join(F.broadcast(ev), "gram")
+        kept.join(F.broadcast(ev), "gram")
         .groupBy("train_doc_id", "eval_doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
@@ -182,19 +227,34 @@ def contamination_pairs(docs: DataFrame, eval_mod: int = 10, n: int = 8) -> Data
       WHERE len(w) >= 8
     ),
     ev AS (SELECT doc_id, gram FROM grams WHERE doc_id % 10 = 0),
-    tr AS (SELECT doc_id, gram FROM grams WHERE doc_id % 10 <> 0)
-    SELECT tr.doc_id AS train_doc_id, ev.doc_id AS eval_doc_id,
+    tr AS (SELECT doc_id, gram FROM grams WHERE doc_id % 10 <> 0),
+    cut AS (SELECT GREATEST(5, COUNT(*) // 1000) AS df_cut
+            FROM documents WHERE doc_id % 10 <> 0),
+    dfreq AS (SELECT gram, COUNT(*) AS df FROM tr GROUP BY gram),
+    trd AS (SELECT tr.doc_id, tr.gram, dfreq.df,
+                   row_number() OVER (PARTITION BY tr.doc_id
+                                      ORDER BY dfreq.df, tr.gram) AS rn
+            FROM tr JOIN dfreq USING (gram)),
+    kept AS (SELECT DISTINCT doc_id, gram FROM trd, cut
+             WHERE df <= cut.df_cut OR rn <= 20)
+    SELECT kept.doc_id AS train_doc_id, ev.doc_id AS eval_doc_id,
            count(*) AS n_shared_grams
-    FROM tr JOIN ev USING (gram)
+    FROM kept JOIN ev USING (gram)
     GROUP BY 1, 2
     """,
     doc="Train/eval contamination detection — the benchmark-leakage "
     "audit every pretraining corpus needs: distinct 8-gram inverted "
     "index over both splits (eval = doc_id%10==0 stand-in for a held "
-    "out benchmark), equi-join on the gram, count shared grams per "
-    "(train, eval) pair. Candidates arise only from shared grams — "
-    "the join never goes all-pairs, and at 100 TB the eval side is "
-    "tiny and broadcastable. Same inverted-index shape as q46.",
+    "out benchmark), equi-join on the gram, count shared SCREENED "
+    "grams per (train, eval) pair. Train grams pass the hot-gram "
+    "screen first (df <= max(5, 0.1% of train docs) OR among the "
+    "doc's 20 rarest) — boilerplate 8-grams (license headers, "
+    "templates) contribute zero evidence and can't fan the join out "
+    "quadratically, while a wholesale eval-doc copy stays detectable "
+    "via its exempt rarest grams. The screen is deterministic (ties "
+    "by gram text) and reproduced 1:1 in this oracle. Candidates "
+    "arise only from shared grams — never all-pairs — and at 100 TB "
+    "the eval side is tiny and broadcastable.",
 )
 def q78_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..engine.io import load_table
 from . import register
@@ -107,11 +108,18 @@ JACCARD_NEARDUP_SQL = """
     "boilerplate shingle shared by 10% of the corpus can no longer "
     "make the self-join quadratic — a Jaccard≥0.6 pair shares ~75% of "
     "its shingles, so it still collides on rare ones (recall asserted "
-    "against planted pairs in tests). The MinHash twin q42 replaces "
-    "this wholesale at 100 TB.",
+    "against planted pairs in tests). Each document additionally keeps "
+    "its keep_rarest globally-rarest shingles REGARDLESS of df, so a "
+    "duplicate cluster larger than the cut (where every shared shingle "
+    "is hot by virtue of the cluster itself) still collides on its own "
+    "rarest shingles instead of silently vanishing. The MinHash twin "
+    "q42 replaces this wholesale at 100 TB.",
 )
 def q46_neardup_jaccard(
-    spark: SparkSession, sf_dir: str, df_cut: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    df_cut: int | None = None,
+    keep_rarest: int = 10,
 ) -> DataFrame:
     from .similarity import _shingles, _verify_jaccard_pairs
 
@@ -123,9 +131,23 @@ def q46_neardup_jaccard(
     # the corpus for each consumer
     sh = _shingles(docs, n=5).localCheckpoint(eager=True)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    rare = sh.join(dfreq.filter(F.col("df") <= df_cut), "shingle")
-    a = rare.select(F.col("doc_id").alias("da"), "shingle")
-    b = rare.select(F.col("doc_id").alias("db"), "shingle")
+    shd = sh.join(dfreq, "shingle")
+    rare = shd.filter(F.col("df") <= df_cut).select("doc_id", "shingle")
+    # per-doc rarest-k exemption: without it, a near-identical cluster
+    # of > df_cut documents has NO sub-cut shingle (its own size pushes
+    # every shared shingle over the cut) and the whole cluster — the
+    # highest-value dedup target — would generate zero candidates.
+    # Candidates from an exempt shingle are bounded by the true cluster
+    # size, i.e. proportional to the output itself, never boilerplate.
+    per_doc = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    rarest_k = (
+        shd.withColumn("rn", F.row_number().over(per_doc))
+        .filter(F.col("rn") <= keep_rarest)
+        .select("doc_id", "shingle")
+    )
+    kept = rare.union(rarest_k).distinct()
+    a = kept.select(F.col("doc_id").alias("da"), "shingle")
+    b = kept.select(F.col("doc_id").alias("db"), "shingle")
     cand = (
         a.join(b, ["shingle"])
         .filter(F.col("da") < F.col("db"))

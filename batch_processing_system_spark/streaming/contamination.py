@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries.packing import distinct_word_ngrams
+from ..queries.packing import distinct_word_ngrams, screened_grams
 from .dedup import INCOMING_DOC_SCHEMA
 
 
@@ -28,13 +28,26 @@ def eval_gram_set(eval_docs: DataFrame, n: int = 8) -> DataFrame:
 
 
 def screen_batch(
-    batch: DataFrame, eval_grams: DataFrame, n: int = 8
+    batch: DataFrame,
+    eval_grams: DataFrame,
+    n: int = 8,
+    df_cut: int | None = None,
+    keep_rarest: int = 20,
 ) -> tuple[DataFrame, DataFrame]:
     """Split one document micro-batch into (clean, flagged) by n-gram
     overlap with the benchmark gram set. Flagged = shares >= 1 distinct
-    n-gram. Both outputs keep the input schema."""
+    SCREENED n-gram: batch-side grams pass the same hot-gram screen as
+    the batch audit (q78) — a boilerplate gram present across the
+    micro-batch (license header that also appears in a benchmark
+    question's preamble) would otherwise quarantine every doc carrying
+    it, flooding the quarantine with false positives; a doc that
+    wholesale-copies a benchmark item stays flagged via its exempt
+    rarest grams. Both outputs keep the input schema."""
+    grams = distinct_word_ngrams(batch, n)
+    if df_cut is None:
+        df_cut = max(5, batch.count() // 1000)
     hits = (
-        distinct_word_ngrams(batch, n)
+        screened_grams(grams, df_cut, keep_rarest)
         .join(F.broadcast(eval_grams), "gram")
         .select("doc_id")
         .distinct()

@@ -1,0 +1,162 @@
+"""Round-3 hardening tests: the hot-cluster blind spot of the q46
+hot-shingle cut (ADVICE), the q78 hot-gram screen + wholesale-copy
+exemption with 1:1 oracle parity, and the streaming contamination
+screen's boilerplate immunity."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from batch_processing_system_spark.queries.packing import contamination_pairs
+from batch_processing_system_spark.queries.text import q46_neardup_jaccard
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+class TestQ46HotClusterExemption:
+    """ADVICE round-2 item: a near-dup cluster larger than the DF cut
+    has no sub-cut shingle (the cluster's own size makes every shared
+    shingle hot), so the cut alone generates zero candidates for the
+    highest-value dedup target. The per-doc rarest-k exemption must
+    recover it."""
+
+    def _cluster_corpus(self, spark, tmp_path, m=20):
+        base = " ".join(f"c{j}" for j in range(30))
+        rows = [(i, base) for i in range(m)]  # m identical docs
+        for i in range(m, m + 200):  # background of all-unique docs
+            rows.append((i, " ".join(f"u{i}x{j}" for j in range(20))))
+        return _write_docs(spark, tmp_path, rows)
+
+    def test_cluster_larger_than_cut_fully_recovered(self, spark, tmp_path):
+        m = 20
+        sf_dir = self._cluster_corpus(spark, tmp_path, m)
+        out = {
+            (r[0], r[1])
+            for r in q46_neardup_jaccard(spark, sf_dir, df_cut=5).collect()
+        }
+        want = {(a, b) for a in range(m) for b in range(a + 1, m)}
+        assert out == want  # all C(20,2)=190 pairs, nothing else
+
+    def test_without_exemption_cluster_vanishes(self, spark, tmp_path):
+        # documents the failure mode the exemption closes
+        sf_dir = self._cluster_corpus(spark, tmp_path)
+        out = q46_neardup_jaccard(spark, sf_dir, df_cut=5, keep_rarest=0)
+        assert out.count() == 0
+
+    def test_boilerplate_still_cut_with_exemption(self, spark, tmp_path):
+        """The round-2 boilerplate scenario must still hold: docs with
+        >= keep_rarest unique shingles never exempt a boilerplate
+        shingle, so the cut's quadratic protection is intact."""
+        boiler = "alpha beta gamma delta epsilon zeta"
+        rows = []
+        for i in range(300):
+            unique = " ".join(f"u{i}x{j}" for j in range(20))
+            rows.append((i, f"{boiler} {unique}" if i < 30 else unique))
+        base = " ".join(f"p{j}" for j in range(30))
+        rows += [(1000, base), (1001, base + " extraword")]
+        sf_dir = _write_docs(spark, tmp_path, rows)
+        out = {(r[0], r[1]) for r in q46_neardup_jaccard(spark, sf_dir).collect()}
+        assert out == {(1000, 1001)}
+
+
+class TestQ78HotGramScreen:
+    def _corpus(self, spark):
+        rows = []
+        boiler = " ".join(f"b{j}" for j in range(8))  # exactly one 8-gram
+        # eval doc 0 carries the boilerplate inside its own context
+        rows.append((0, boiler + " " + " ".join(f"e0w{j}" for j in range(30))))
+        # 90 train docs carry the same boilerplate + unique tails
+        train_ids = [i for i in range(1, 120) if i % 10 != 0][:90]
+        for i in train_ids:
+            rows.append((i, boiler + " " + " ".join(f"t{i}w{j}" for j in range(30))))
+        # eval doc 20 wholesale-copied into 10 train docs
+        eval_text = " ".join(f"e20w{j}" for j in range(40))
+        rows.append((20, eval_text))
+        copy_ids = [121, 131, 141, 151, 161, 171, 181, 191, 201, 211]
+        rows += [(i, eval_text) for i in copy_ids]
+        # a single-copy leak: train doc 303 embeds eval doc 30's text
+        eval30 = " ".join(f"e30w{j}" for j in range(20))
+        rows.append((30, eval30))
+        rows.append((303, "prefix words here " + eval30 + " suffix words there"))
+        return (
+            spark.createDataFrame(rows, "doc_id bigint, text string"),
+            train_ids,
+            copy_ids,
+        )
+
+    def test_boilerplate_yields_no_pairs_but_copies_detected(self, spark):
+        docs, train_ids, copy_ids = self._corpus(spark)
+        pairs = {
+            (r["train_doc_id"], r["eval_doc_id"]): r["n_shared_grams"]
+            for r in contamination_pairs(docs).collect()
+        }
+        # boilerplate-only overlap with eval doc 0 is screened out
+        assert not any(ev == 0 for (_, ev) in pairs)
+        # all 10 wholesale copies of eval doc 20 flagged via rarest-k
+        for i in copy_ids:
+            assert (i, 20) in pairs
+            assert pairs[(i, 20)] == 20  # the 20 exempt rarest grams
+        # the ordinary single-copy leak is fully counted (grams rare)
+        assert pairs[(303, 30)] == 13  # 20-word embed => 13 grams
+        assert set(pairs) == {(i, 20) for i in copy_ids} | {(303, 30)}
+
+    def test_without_exemption_copies_vanish(self, spark):
+        docs, _, copy_ids = self._corpus(spark)
+        pairs = {
+            (r["train_doc_id"], r["eval_doc_id"])
+            for r in contamination_pairs(docs, keep_rarest=0).collect()
+        }
+        assert pairs == {(303, 30)}  # only the rare-gram leak survives
+
+    def test_oracle_parity_on_stress_corpus(self, spark, tmp_path):
+        """The screen is deterministic, so DuckDB running the
+        registered oracle SQL on the SAME corpus must produce the
+        identical multiset — the tier-1 guarantee under adversarial
+        data, not just the driver's synthetic tables."""
+        from batch_processing_system_spark.queries import REGISTRY, _ensure_loaded
+        from batch_processing_system_spark.queries.packing import q78_contamination
+
+        _ensure_loaded()
+        docs, _, _ = self._corpus(spark)
+        sf_dir = _write_docs(spark, tmp_path, [(r.doc_id, r.text) for r in docs.collect()])
+        got = {
+            tuple(r)
+            for r in q78_contamination(spark, sf_dir).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+        )
+        want = {tuple(r) for r in con.execute(REGISTRY["q78_contamination"].oracle).fetchall()}
+        assert got == want and len(got) > 0
+
+
+class TestStreamingScreenBoilerplate:
+    def test_boilerplate_not_quarantined_copy_is(self, spark):
+        from batch_processing_system_spark.streaming.contamination import (
+            eval_gram_set,
+            screen_batch,
+        )
+
+        boiler = " ".join(f"b{j}" for j in range(8))
+        bench_text = " ".join(f"q{j}" for j in range(40))
+        eval_docs = spark.createDataFrame(
+            [(1, boiler + " " + bench_text)], "doc_id bigint, text string"
+        )
+        grams = eval_gram_set(eval_docs)
+
+        rows = [(i, boiler + " " + " ".join(f"d{i}w{j}" for j in range(30)))
+                for i in range(100)]
+        rows.append((500, bench_text))  # wholesale benchmark copy
+        batch = spark.createDataFrame(rows, "doc_id bigint, text string")
+        clean, flagged = screen_batch(batch, grams)
+        assert [r["doc_id"] for r in flagged.collect()] == [500]
+        assert clean.count() == 100
