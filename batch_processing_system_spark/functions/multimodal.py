@@ -488,6 +488,11 @@ def sample_video_frames(binary_df: DataFrame, every_ms: int) -> DataFrame:
     timestamp. True video containers (mp4/webm) raise
     NotImplementedError naming the AV dependency — the schema is final
     either way, so swapping in PyAV changes no plan."""
+    # plan-build-time guard: every_ms <= 0 would make the tick loop
+    # inside the executor task never advance (infinite loop in a worker,
+    # invisible from the driver) — fail fast here instead
+    if every_ms < 1:
+        raise ValueError(f"every_ms must be >= 1, got {every_ms}")
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -61,11 +61,19 @@ def q74_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
-def connected_components(pairs: DataFrame) -> DataFrame:
+def connected_components(pairs: DataFrame, max_rounds: int = 64) -> DataFrame:
     """Min-label propagation over an undirected pair list
     (doc_id_a, doc_id_b) → (doc_id, component) for every vertex, where
     component = the minimum doc_id reachable. Converges in diameter
-    rounds; every round is one equi-join + groupBy on the edge list."""
+    rounds; every round is one equi-join + groupBy on the edge list.
+
+    ``max_rounds`` is belt-and-braces only: labels decrease
+    monotonically and are bounded below, so the loop provably reaches
+    a fixed point in <= graph-diameter rounds (64 covers a diameter of
+    2^64 under the halving effect of min-propagation; any real pair
+    graph converges in a handful). It exists so a future edit to the
+    label rule cannot silently loop a cluster forever — exceeding it
+    raises instead of spinning."""
     edges = (
         pairs.select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
         .unionAll(pairs.select(F.col("doc_id_b").alias("a"), F.col("doc_id_a").alias("b")))
@@ -87,7 +95,7 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         .select(F.col("a").alias("doc_id"), "component")
         .localCheckpoint(eager=True)
     )
-    while True:
+    for _ in range(max_rounds):
         nbr_min = (
             edges.join(
                 labels.select(
@@ -117,6 +125,11 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         labels = new_labels
         if changed == 0:
             return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds — "
+        "min-label propagation is provably monotone, so this indicates a "
+        "broken label-update rule, not a large graph"
+    )
 
 
 _CURATION_ORACLE = f"""

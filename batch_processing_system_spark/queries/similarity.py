@@ -457,9 +457,12 @@ def q54_cosine_neardup(
 
     budget = broadcast_budget_bytes or COSINE_BROADCAST_BUDGET_BYTES
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
-    head = emb.select(F.size("embedding").alias("d")).head()
-    dim = int(head["d"]) if head else 0
+    # single metadata pass decides the route (count + dim together)
+    meta = emb.agg(
+        F.count(F.lit(1)).alias("n"), F.first(F.size("embedding")).alias("d")
+    ).head()
+    n = int(meta["n"])
+    dim = int(meta["d"]) if meta["d"] is not None else 0
     if n * dim * 8 > budget:
         return _cosine_pairs_lsh(emb, 0.45)
 

@@ -160,3 +160,50 @@ class TestStreamingScreenBoilerplate:
         clean, flagged = screen_batch(batch, grams)
         assert [r["doc_id"] for r in flagged.collect()] == [500]
         assert clean.count() == 100
+
+
+class TestHardening:
+    """VERDICT item 7 + ADVICE low: belt-and-braces guards that must
+    fail loudly instead of spinning."""
+
+    def test_connected_components_converges_normally(self, spark):
+        from batch_processing_system_spark.queries.curation import (
+            connected_components,
+        )
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "doc_id_a bigint, doc_id_b bigint"
+        )
+        got = {
+            (r["doc_id"], r["component"])
+            for r in connected_components(pairs).collect()
+        }
+        assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+    def test_connected_components_round_cap_raises(self, spark):
+        from batch_processing_system_spark.queries.curation import (
+            connected_components,
+        )
+
+        # a path graph needs >0 confirmation rounds; max_rounds=0 must
+        # raise rather than silently return a wrong (unconverged) label
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "doc_id_a bigint, doc_id_b bigint"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(pairs, max_rounds=0)
+
+    def test_video_sampler_rejects_nonpositive_cadence(self, spark, tmp_path):
+        from batch_processing_system_spark.functions.multimodal import (
+            sample_video_frames,
+        )
+        from batch_processing_system_spark.sources.binaryfile import (
+            read_binary_dir,
+        )
+
+        (tmp_path / "x.gif").write_bytes(b"GIF89a")
+        df = read_binary_dir(spark, str(tmp_path))
+        with pytest.raises(ValueError, match="every_ms"):
+            sample_video_frames(df, 0)
+        with pytest.raises(ValueError, match="every_ms"):
+            sample_video_frames(df, -5)
