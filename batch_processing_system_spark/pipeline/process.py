@@ -89,8 +89,18 @@ def upsert_documents(docs: DataFrame, updates: DataFrame) -> DataFrame:
     129-138) as an engine-native MERGE: left-join the snapshot to the
     updates and rebuild the two touched columns —
 
-        ai_status      := update.new_status        (when matched)
+        ai_status      := update.new_status        (when matched AND
+                          the doc is currently 'in_progress')
         event_response := concat(coalesce(old, []), [new_item])
+
+    The in_progress gate makes the MERGE idempotent at the data level:
+    submission marks every targeted doc 'in_progress'
+    (/root/reference/README.md:77), processing transitions it to
+    completed/failed, and re-applying the same updates — after a crash
+    between the docs write and the jobs write, in EITHER order — is a
+    no-op because the transition already happened. Exactly-once effects
+    from at-least-once processing, without relying on write ordering
+    across two non-atomic tables.
 
     Join-rebuild rewrites the snapshot; at 100 TB the same expressions
     run inside Delta ``MERGE INTO`` or a partition-scoped rewrite
@@ -102,12 +112,13 @@ def upsert_documents(docs: DataFrame, updates: DataFrame) -> DataFrame:
         F.col("new_item"),
     )
     merged = docs.join(u, docs["_id"] == u.u_id, "left")
+    applies = F.col("new_status").isNotNull() & (F.col("ai_status") == "in_progress")
     empty = F.array().cast(f"array<{EVENT_RESPONSE_ITEM.simpleString()}>")
     return merged.select(
         "_id",
-        F.coalesce(F.col("new_status"), F.col("ai_status")).alias("ai_status"),
+        F.when(applies, F.col("new_status")).otherwise(F.col("ai_status")).alias("ai_status"),
         F.when(
-            F.col("new_item").isNotNull(),
+            applies & F.col("new_item").isNotNull(),
             F.concat(F.coalesce(F.col("event_response"), empty), F.array(F.col("new_item"))),
         )
         .otherwise(F.col("event_response"))

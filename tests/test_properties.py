@@ -120,12 +120,14 @@ class TestUpsertMerge:
     @PROP_SETTINGS
     @given(updates=updates_strategy)
     def test_join_rebuild_matches_dict_semantics(self, spark, updates):
-        """S5 upsert == plain dict-merge semantics: updated docs take the
-        new status (+1 array item when completed); others unchanged."""
+        """S5 upsert == plain dict-merge semantics over in_progress docs:
+        updated docs take the new status (+1 array item when completed);
+        others unchanged. Applying the SAME updates a second time is a
+        no-op (the idempotency contract re-entry depends on)."""
         from batch_processing_system_spark.pipeline.process import upsert_documents
         from batch_processing_system_spark.pipeline.schemas import DOCUMENT_SCHEMA
 
-        docs = [(f"d{i}", "pending", [], "{}") for i in range(10)]
+        docs = [(f"d{i}", "in_progress", [], "{}") for i in range(10)]
         docs_df = spark.createDataFrame(docs, DOCUMENT_SCHEMA)
         t0 = BASE
         upd_rows = [
@@ -141,13 +143,20 @@ class TestUpsertMerge:
             "custom_id string, new_status string, "
             "new_item struct<event_response:string, updated:timestamp>",
         )
-        merged = {r["_id"]: r for r in upsert_documents(docs_df, upd_df).collect()}
+        once = upsert_documents(docs_df, upd_df)
+        merged = {r["_id"]: r for r in once.collect()}
 
-        expected = {f"d{i}": ("pending", 0) for i in range(10)}
+        expected = {f"d{i}": ("in_progress", 0) for i in range(10)}
         for i, status in updates:
             expected[f"d{i}"] = (status, 1 if status == "completed" else 0)
         actual = {k: (v["ai_status"], len(v["event_response"])) for k, v in merged.items()}
         assert actual == expected
+
+        # idempotence: re-applying to the already-transitioned snapshot
+        # changes nothing — docs are no longer in_progress
+        twice = {r["_id"]: r for r in upsert_documents(once, upd_df).collect()}
+        actual2 = {k: (v["ai_status"], len(v["event_response"])) for k, v in twice.items()}
+        assert actual2 == actual
 
 
 class TestDeterminismHelpers:

@@ -207,3 +207,52 @@ class TestHardening:
             sample_video_frames(df, 0)
         with pytest.raises(ValueError, match="every_ms"):
             sample_video_frames(df, -5)
+
+
+class TestPollCrashIdempotency:
+    """ADVICE round-2 medium: cmd_poll persists docs BEFORE jobs, so a
+    crash between the writes leaves docs already holding the pushed
+    event_response while the job row has no pointers and stays active.
+    The next tick re-runs process_results — which must now be a no-op
+    on the already-transitioned docs (data-level idempotency), not
+    append a duplicate item."""
+
+    def test_docs_persisted_jobs_lost_no_double_push(self, spark, tmp_path):
+        import json as _json
+        from datetime import datetime
+
+        from batch_processing_system_spark.pipeline.run import (
+            run_poll_cycle,
+            submit_batch,
+        )
+        from batch_processing_system_spark.pipeline.schemas import DOCUMENT_SCHEMA
+        from tests.test_pipeline import (
+            SCHEMA_JSON,
+            FakeRemote,
+            _write_jsonl,
+            good_request,
+            result_line,
+        )
+
+        t0 = datetime(2026, 1, 1)
+        docs = spark.createDataFrame(
+            [(f"doc-{i:03d}", "pending", [], "{}") for i in range(3)],
+            DOCUMENT_SCHEMA,
+        )
+        ok = _json.dumps({"sentiment": "positive", "score": 0.9})
+        out_path = _write_jsonl(tmp_path, "out.jsonl", [result_line(0, content=ok)])
+        remote = FakeRemote(
+            statuses={"batch-001": "completed"},
+            result_files_map={"batch-001": (out_path, None)},
+        )
+        req = _write_jsonl(tmp_path, "req.jsonl", [good_request(0)])
+        out = submit_batch(spark, req, SCHEMA_JSON, docs, remote, "job-1", t0)
+
+        jobs2, docs2 = run_poll_cycle(spark, out.jobs, out.marked_docs, remote, t0)
+        # crash: docs2 persisted, jobs2 LOST — re-enter with the OLD
+        # jobs table (no pointers, still active) and the NEW docs
+        jobs3, docs3 = run_poll_cycle(spark, out.jobs, docs2, remote, t0)
+        assert jobs3.collect()[0]["status"] == "completed"
+        state = {r["_id"]: r for r in docs3.collect()}
+        assert len(state["doc-000"]["event_response"]) == 1  # not doubled
+        assert state["doc-000"]["ai_status"] == "completed"

@@ -25,8 +25,11 @@ T0 = datetime(2024, 1, 1, 12, 0, 0)
 
 class TestPartitionedUpsert:
     def _seed(self, spark, path, n=200, n_buckets=8):
+        # in_progress = the state targeted docs are in when results
+        # arrive (submit marks them; the upsert gate requires it)
         docs = spark.createDataFrame(
-            [(f"doc-{i:04d}", "pending", [], "{}") for i in range(n)], DOCUMENT_SCHEMA
+            [(f"doc-{i:04d}", "in_progress", [], "{}") for i in range(n)],
+            DOCUMENT_SCHEMA,
         )
         write_documents_bucketed(docs, path, n_buckets)
         return docs
@@ -51,7 +54,7 @@ class TestPartitionedUpsert:
         assert len(state["doc-0003"]["event_response"]) == 1
         assert state["doc-0007"]["ai_status"] == "failed"
         assert state["doc-0007"]["event_response"] == []
-        assert state["doc-0000"]["ai_status"] == "pending"
+        assert state["doc-0000"]["ai_status"] == "in_progress"  # untouched
 
     def test_untouched_bucket_files_not_rewritten(self, spark, tmp_path):
         path = str(tmp_path / "docs")
