@@ -32,26 +32,42 @@ class DirectoryRemote:
 
     _PREFIX = {"files": "file", "batches": "batch"}
 
-    def _next_id(self, kind: str) -> str:
-        n = len(os.listdir(os.path.join(self.root, kind))) + 1
-        return f"{self._PREFIX[kind]}-{n:06d}"
+    def _alloc(self, kind: str, ext: str) -> tuple[str, int]:
+        """Atomically claim the next sequential id: O_CREAT|O_EXCL makes
+        the filesystem the arbiter, so two concurrent allocators can
+        never claim the same id and overwrite each other's payload —
+        the loser of the race just advances to the next number."""
+        d = os.path.join(self.root, kind)
+        n = len(os.listdir(d)) + 1
+        while True:
+            ident = f"{self._PREFIX[kind]}-{n:06d}"
+            try:
+                fd = os.open(
+                    os.path.join(d, ident + ext),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+                return ident, fd
+            except FileExistsError:
+                n += 1
 
     def upload(self, path: str) -> str:
-        file_id = self._next_id("files")
-        shutil.copyfile(path, os.path.join(self.root, "files", f"{file_id}.jsonl"))
+        file_id, fd = self._alloc("files", ".jsonl")
+        with open(path, "rb") as src, os.fdopen(fd, "wb") as dst:
+            shutil.copyfileobj(src, dst)
         return file_id
 
     def create_batch(self, input_file_id: str) -> str:
-        batch_id = self._next_id("batches")
-        self._write_batch(
-            batch_id,
-            {
-                "status": "validating",
-                "input_file_id": input_file_id,
-                "output_file": None,
-                "error_file": None,
-            },
-        )
+        batch_id, fd = self._alloc("batches", ".json")
+        with os.fdopen(fd, "w") as f:
+            json.dump(
+                {
+                    "status": "validating",
+                    "input_file_id": input_file_id,
+                    "output_file": None,
+                    "error_file": None,
+                },
+                f,
+            )
         return batch_id
 
     def retrieve(self, batch_id: str) -> str:

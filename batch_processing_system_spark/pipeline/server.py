@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import threading
 import uuid
 from datetime import datetime, timezone
 from email.parser import BytesParser
@@ -33,6 +34,13 @@ from .schemas import BATCH_JOB_SCHEMA, DOCUMENT_SCHEMA
 from .statestore import read_state, rewrite_state
 
 REQUIRED_FIELDS = ("jsonl_file", "output_schema_json", "mongodb_uri", "collection_name")
+
+# ThreadingHTTPServer handles each POST on its own thread; the
+# read→submit→rewrite section below is a read-modify-write of the
+# jobs/docs parquet snapshots, so concurrent submits must serialize or
+# the last rewrite wins and drops the other's job row. Parsing and the
+# HTTP I/O stay parallel; only the state transaction takes the lock.
+_STATE_LOCK = threading.Lock()
 
 
 def _parse_multipart(content_type: str, body: bytes) -> dict[str, bytes]:
@@ -116,27 +124,31 @@ class PipelineHandler(BaseHTTPRequestHandler):
             tf.write(fields["jsonl_file"])
             jsonl_path = tf.name
         try:
-            docs = read_state(self.spark, self.docs_path, DOCUMENT_SCHEMA)
-            jobs = read_state(self.spark, self.jobs_path, BATCH_JOB_SCHEMA)
-            out = submit_batch(
-                self.spark,
-                jsonl_path,
-                fields["output_schema_json"].decode(),
-                docs,
-                DirectoryRemote(self.remote_root),
-                f"job-{uuid.uuid4().hex[:12]}",
-                self.now_fn(),
-                collection_name=fields["collection_name"].decode(),
-                mongodb_uri=fields["mongodb_uri"].decode(),
-            )
-            if out.errors:
-                details = [
-                    {k: v for k, v in e.items() if v is not None} for e in out.errors
-                ]
-                self._reply(400, {"error": "Validation Failed", "details": details})
-                return
-            rewrite_state(jobs.unionByName(out.jobs), self.jobs_path)
-            rewrite_state(out.marked_docs, self.docs_path)
+            with _STATE_LOCK:
+                docs = read_state(self.spark, self.docs_path, DOCUMENT_SCHEMA)
+                jobs = read_state(self.spark, self.jobs_path, BATCH_JOB_SCHEMA)
+                out = submit_batch(
+                    self.spark,
+                    jsonl_path,
+                    fields["output_schema_json"].decode(),
+                    docs,
+                    DirectoryRemote(self.remote_root),
+                    f"job-{uuid.uuid4().hex[:12]}",
+                    self.now_fn(),
+                    collection_name=fields["collection_name"].decode(),
+                    mongodb_uri=fields["mongodb_uri"].decode(),
+                )
+                if out.errors:
+                    details = [
+                        {k: v for k, v in e.items() if v is not None}
+                        for e in out.errors
+                    ]
+                    self._reply(
+                        400, {"error": "Validation Failed", "details": details}
+                    )
+                    return
+                rewrite_state(jobs.unionByName(out.jobs), self.jobs_path)
+                rewrite_state(out.marked_docs, self.docs_path)
             self._reply(202, {"job_id": out.job_id})
         finally:
             os.unlink(jsonl_path)
