@@ -1,0 +1,158 @@
+"""Commit protocol for the bucketed document store: readers see
+old-or-new, never mixed — under crashes before the commit, torn
+manifest writes, racing committers, and vacuum of crash garbage."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_processing_system_spark.pipeline.commitstore import (
+    CommitConflict,
+    current_version,
+    init_store,
+    read_store,
+    upsert_store,
+    vacuum,
+)
+from batch_processing_system_spark.pipeline.schemas import DOCUMENT_SCHEMA
+
+T0 = datetime(2026, 1, 1, 12, 0, 0)
+
+
+def _docs(spark, n=50, status="in_progress"):
+    return spark.createDataFrame(
+        [(f"doc-{i:04d}", status, [], "{}") for i in range(n)], DOCUMENT_SCHEMA
+    )
+
+
+def _updates(spark, ids):
+    rows = [
+        (f"doc-{i:04d}", "completed", (f'{{"v": {i}}}', T0)) for i in ids
+    ]
+    return spark.createDataFrame(
+        rows,
+        "custom_id string, new_status string, "
+        "new_item struct<event_response:string, updated:timestamp>",
+    )
+
+
+def _snapshot(spark, root, version=None):
+    return {
+        r["_id"]: (r["ai_status"], len(r["event_response"]))
+        for r in read_store(spark, root, version).collect()
+    }
+
+
+class TestCommitStoreBasics:
+    def test_init_and_read_round_trip(self, spark, tmp_path):
+        root = str(tmp_path / "store")
+        assert init_store(_docs(spark), root, n_buckets=8) == 1
+        assert current_version(root) == 1
+        state = _snapshot(spark, root)
+        assert len(state) == 50
+        assert all(v == ("in_progress", 0) for v in state.values())
+
+    def test_upsert_merges_and_bumps_version(self, spark, tmp_path):
+        root = str(tmp_path / "store")
+        init_store(_docs(spark), root, n_buckets=8)
+        touched = upsert_store(spark, root, _updates(spark, [3, 7]))
+        assert 1 <= len(touched) <= 2
+        assert current_version(root) == 2
+        state = _snapshot(spark, root)
+        assert len(state) == 50  # no rows lost
+        assert state["doc-0003"] == ("completed", 1)
+        assert state["doc-0007"] == ("completed", 1)
+        assert state["doc-0000"] == ("in_progress", 0)
+        # time travel: version 1 still shows the pre-upsert snapshot
+        old = _snapshot(spark, root, version=1)
+        assert old["doc-0003"] == ("in_progress", 0)
+
+
+class TestCrashAtomicity:
+    """The commit is the os.link; anything before it must be invisible.
+    The injected aborts leave the same filesystem state as SIGKILL at
+    the same instant (no error-cleanup exists in the write path)."""
+
+    def test_crash_after_stage_readers_see_old(self, spark, tmp_path):
+        root = str(tmp_path / "store")
+        init_store(_docs(spark), root, n_buckets=8)
+        before = _snapshot(spark, root)
+        with pytest.raises(RuntimeError, match="staged but not committed"):
+            upsert_store(spark, root, _updates(spark, [3]), _crash_point="after_stage")
+        assert current_version(root) == 1
+        assert _snapshot(spark, root) == before  # fully old, nothing mixed
+
+    def test_crash_mid_commit_torn_manifest_ignored(self, spark, tmp_path):
+        root = str(tmp_path / "store")
+        init_store(_docs(spark), root, n_buckets=8)
+        before = _snapshot(spark, root)
+        with pytest.raises(RuntimeError, match="not linked"):
+            upsert_store(spark, root, _updates(spark, [3]), _crash_point="mid_commit")
+        assert current_version(root) == 1
+        assert _snapshot(spark, root) == before
+        # the torn tmp manifest exists but is invisible to readers
+        assert any(n.startswith(".tmp-manifest-") for n in os.listdir(root))
+
+    def test_retry_after_crash_succeeds_exactly_once(self, spark, tmp_path):
+        root = str(tmp_path / "store")
+        init_store(_docs(spark), root, n_buckets=8)
+        with pytest.raises(RuntimeError):
+            upsert_store(spark, root, _updates(spark, [3]), _crash_point="after_stage")
+        upsert_store(spark, root, _updates(spark, [3]))  # clean retry
+        state = _snapshot(spark, root)
+        assert state["doc-0003"] == ("completed", 1)  # once, not twice
+
+    def test_vacuum_reclaims_crash_garbage_readers_unaffected(self, spark, tmp_path):
+        root = str(tmp_path / "store")
+        init_store(_docs(spark), root, n_buckets=8)
+        with pytest.raises(RuntimeError):
+            upsert_store(spark, root, _updates(spark, [3]), _crash_point="after_stage")
+        with pytest.raises(RuntimeError):
+            upsert_store(spark, root, _updates(spark, [5]), _crash_point="mid_commit")
+        upsert_store(spark, root, _updates(spark, [7]))
+        before = _snapshot(spark, root)
+        removed = vacuum(root)
+        # two orphan stages + one torn tmp manifest reclaimed; the
+        # committed version's stage dirs stay
+        assert len([p for p in removed if "stage-" in p]) == 2
+        assert len([p for p in removed if ".tmp-manifest-" in p]) == 1
+        assert _snapshot(spark, root) == before
+
+
+class TestCommitConflict:
+    def test_racing_committer_must_rebase(self, spark, tmp_path):
+        """Optimistic concurrency: two writers staging against the same
+        base version — the second commit attempt raises instead of
+        silently clobbering the first."""
+        root = str(tmp_path / "store")
+        init_store(_docs(spark), root, n_buckets=8)
+
+        # writer A stages but pauses before commit
+        with pytest.raises(RuntimeError):
+            upsert_store(spark, root, _updates(spark, [3]), _crash_point="mid_commit")
+        # writer B lands first
+        upsert_store(spark, root, _updates(spark, [5]))
+        assert current_version(root) == 2
+
+        # writer A resumes by linking its staged manifest at version 2:
+        # simulate by re-running its full upsert against the OLD base —
+        # the version arithmetic now collides and must raise
+        from batch_processing_system_spark.pipeline import commitstore
+
+        orig = commitstore.current_version
+        commitstore.current_version = lambda root_: 1  # A's stale view
+        try:
+            with pytest.raises(CommitConflict):
+                upsert_store(spark, root, _updates(spark, [3]))
+        finally:
+            commitstore.current_version = orig
+
+        # rebase: re-read current and retry — applies cleanly
+        upsert_store(spark, root, _updates(spark, [3]))
+        state = _snapshot(spark, root)
+        assert state["doc-0003"] == ("completed", 1)
+        assert state["doc-0005"] == ("completed", 1)
