@@ -55,6 +55,14 @@ def get_spark(
         # --- Parquet: vectorized reader on, sane split sizes.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # --- Cost-based optimizer: on, with join reordering. Inert for
+        # path-based parquet reads (no stats exist), active the moment
+        # tables are catalog-registered and ANALYZEd —
+        # tools/cbo_demo.py records the resulting join-reorder plan
+        # change on the q65-shaped 6-table join (PLANS.md §CBO).
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
+        .config("spark.sql.statistics.histogram.enabled", "true")
         # Keep the UI off in tests/bench; one less port to fight over.
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -69,6 +69,7 @@ def main() -> None:
                     "master": spark.sparkContext.master,
                     "shuffle_partitions": conf.get("spark.sql.shuffle.partitions"),
                     "aqe": conf.get("spark.sql.adaptive.enabled"),
+                    "cbo": conf.get("spark.sql.cbo.enabled"),
                     "broadcast_threshold": conf.get("spark.sql.autoBroadcastJoinThreshold"),
                 },
             }
