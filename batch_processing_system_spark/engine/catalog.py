@@ -14,6 +14,16 @@ from pyspark.sql import SparkSession
 from .io import TABLES, load_table
 
 
+def register_functions(spark: SparkSession) -> list[str]:
+    """Register the engine's SQL-callable Python UDTFs (U4) so SQL
+    strings can use them alongside the temp views — e.g.
+    ``SELECT d.doc_id, c.* FROM documents d, LATERAL
+    chunk_text(d.text, 32) c``."""
+    from ..functions.udtfs import register_udtfs
+
+    return register_udtfs(spark)
+
+
 def register_tables(
     spark: SparkSession, sf_dir: str, prefix: str = ""
 ) -> list[str]:

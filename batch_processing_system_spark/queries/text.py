@@ -267,3 +267,42 @@ def q50_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_stop.cast("bigint").alias("n_stop"),
         F.when(n_stop >= 2, F.lit("en")).otherwise(F.lit("unknown")).alias("lang_pred"),
     )
+
+
+@register(
+    "q85_chunk_udtf",
+    """
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    ix AS (SELECT doc_id, w, i
+           FROM ws, UNNEST(generate_series(1, len(w))) AS t(i))
+    SELECT doc_id,
+           CAST((i-1) // 32 AS INTEGER) AS chunk_idx,
+           string_agg(w[i], ' ' ORDER BY i) AS chunk,
+           CAST(COUNT(*) AS INTEGER) AS n_words
+    FROM ix
+    GROUP BY doc_id, (i-1) // 32
+    """,
+    doc="U4 registered Python UDTF — context-window chunking, the "
+    "pretraining step that splits each document into fixed 32-word "
+    "windows before sequence packing (q77 consumes chunk-shaped "
+    "input). Exercises the REAL Spark-4 @udtf surface: per-row "
+    "multi-out with computed columns, registered SQL-callable "
+    "(engine/catalog.register_functions) and invoked via LATERAL "
+    "from a SQL string — not an explode() composition. The UDTF is a "
+    "pure generator (O(chunk) memory per row); fan-out happens in the "
+    "Python worker inside the normal Arrow batch stream, so the plan "
+    "stays map-only — no shuffle at any corpus size. Oracle: DuckDB "
+    "reproduces the same single-space word rule with string_split + "
+    "ordered string_agg per 32-word bucket.",
+)
+def q85_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..engine.catalog import register_functions
+
+    register_functions(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("q85_documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_words
+        FROM q85_documents d, LATERAL chunk_text(d.text, 32) c
+        """
+    )

@@ -343,3 +343,50 @@ class TestConcurrentSubmits:
             with open(_os.path.join(remote.root, "files", fid + ".jsonl")) as f:
                 contents.add(f.read())
         assert contents == {f"payload-{i}\n" for i in range(8)}
+
+
+class TestChunkUdtf:
+    """U4: the registered Python UDTF surface (q85) — SQL-callable
+    LATERAL generator with per-row multi-out."""
+
+    def test_chunks_cover_text_exactly(self, spark):
+        from batch_processing_system_spark.engine.catalog import register_functions
+
+        register_functions(spark)
+        spark.createDataFrame(
+            [(1, " ".join(f"w{j}" for j in range(70))), (2, "solo"), (3, None)],
+            "doc_id bigint, text string",
+        ).createOrReplaceTempView("cu_docs")
+        rows = spark.sql(
+            "SELECT d.doc_id, c.* FROM cu_docs d, "
+            "LATERAL chunk_text(d.text, 32) c"
+        ).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # doc 1: 70 words -> 32+32+6
+        sizes = [r["n_words"] for r in sorted(by_doc[1], key=lambda r: r["chunk_idx"])]
+        assert sizes == [32, 32, 6]
+        # reassembling the chunks reproduces the text exactly
+        joined = " ".join(
+            r["chunk"] for r in sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+        )
+        assert joined == " ".join(f"w{j}" for j in range(70))
+        # doc 2: single word, one chunk; doc 3 (NULL text): no rows
+        assert [(r["chunk_idx"], r["chunk"], r["n_words"]) for r in by_doc[2]] == [
+            (0, "solo", 1)
+        ]
+        assert 3 not in by_doc
+
+    def test_invalid_size_yields_nothing(self, spark):
+        from batch_processing_system_spark.engine.catalog import register_functions
+
+        register_functions(spark)
+        spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")\
+            .createOrReplaceTempView("cu_docs2")
+        assert (
+            spark.sql(
+                "SELECT c.* FROM cu_docs2 d, LATERAL chunk_text(d.text, 0) c"
+            ).count()
+            == 0
+        )
