@@ -8,20 +8,21 @@ What's real here vs stubbed (this container has no image/audio libs):
   partition behavior — pure-Python container-header parsing
   (PNG/GIF/BMP/JPEG dimensions, WAV sample rate/duration), a
   pure-stdlib+numpy pixel decode + nearest-neighbor resize for
-  uncompressed 24/32-bit BMP (BI_RGB) AND for PNG (stdlib zlib
-  inflate + all five scanline filters, color types
-  gray/RGB/palette/gray-alpha/RGBA at bit depth 8), integer-PCM WAV
-  decode with signal features (RMS/peak/zero-crossings over the mono
-  mix), and animated-GIF frame sampling with a pure-Python LZW
-  decoder + palette mapping. Every still-image fixture format and
-  every modality (image pixels, audio samples, motion frames) has a
-  real end-to-end decode path.
-- STUBBED: JPEG pixel decode (needs Pillow — DCT entropy coding is
-  out of stdlib reach), compressed audio (needs a codec lib), and
-  true video containers (mp4/webm need PyAV/ffmpeg) raise
-  NotImplementedError naming the dependency; the call signatures and
-  output schemas are final so swapping the real library in changes
-  no plan.
+  uncompressed 24/32-bit BMP (BI_RGB), for PNG (stdlib zlib inflate +
+  all five scanline filters, color types gray/RGB/palette/gray-alpha/
+  RGBA at bit depth 8), AND for baseline JPEG (functions/jpeg.py —
+  canonical Huffman entropy decode, dequantize, numpy IDCT, chroma
+  upsample, YCbCr→RGB; grayscale + color at any sampling, restart
+  markers), integer-PCM WAV decode with signal features
+  (RMS/peak/zero-crossings over the mono mix), and animated-GIF frame
+  sampling with a pure-Python LZW decoder + palette mapping. Every
+  still-image format and every modality (image pixels, audio samples,
+  motion frames) has a real end-to-end decode path.
+- STUBBED: progressive JPEG (a different entropy layout), compressed
+  audio (needs a codec lib), and true video containers (mp4/webm need
+  PyAV/ffmpeg) raise NotImplementedError naming the dependency; the
+  call signatures and output schemas are final so swapping the real
+  library in changes no plan.
 """
 
 from __future__ import annotations
@@ -246,15 +247,18 @@ def decode_and_resize(binary_df: DataFrame, width: int, height: int) -> DataFram
     Two execution paths, chosen per file inside the Arrow batch:
     - Pillow, when importable (any format it reads);
     - pure-stdlib+numpy decoders — always available — for uncompressed
-      24/32-bit BMP (BI_RGB) and for 8-bit non-interlaced PNG (zlib
-      inflate + scanline unfilter, gray/RGB/palette/alpha color
-      types), both with nearest-neighbor resize.
+      24/32-bit BMP (BI_RGB), 8-bit non-interlaced PNG (zlib inflate +
+      scanline unfilter, gray/RGB/palette/alpha color types), and
+      baseline JPEG (functions/jpeg.py Huffman+IDCT), all with
+      nearest-neighbor resize.
     A file neither path can decode raises NotImplementedError naming
     the missing dependency (surfaced through the task failure).
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
+
+        from .jpeg import decode_jpeg_rgb
 
         for pdf in batches:
             rows = []
@@ -272,10 +276,12 @@ def decode_and_resize(binary_df: DataFrame, width: int, height: int) -> DataFram
                 if rgb is None:
                     rgb = _decode_png_rgb(data)
                 if rgb is None:
+                    rgb = decode_jpeg_rgb(data)
+                if rgb is None:
                     raise NotImplementedError(
-                        f"decode_and_resize: {path!r} is neither an "
-                        "uncompressed BMP nor a PNG, and Pillow (PIL) is "
-                        "not installed; install Pillow for GIF/JPEG decode"
+                        f"decode_and_resize: {path!r} is not a BMP, PNG, "
+                        "or baseline JPEG, and Pillow (PIL) is not "
+                        "installed; install Pillow for other formats"
                     )
                 rows.append(
                     (path, [int(v) for v in _resize_nearest(rgb, width, height).ravel()])

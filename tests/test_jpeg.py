@@ -1,0 +1,109 @@
+"""Baseline JPEG decoder (functions/jpeg.py) round-tripped against the
+independent encoder in tests/_jpeg_encoder.py — grayscale, color
+4:4:4 and 4:2:0, restart markers, non-multiple-of-8 dimensions — plus
+the Spark decode_and_resize path on JPEG files."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from batch_processing_system_spark.functions.jpeg import decode_jpeg_rgb
+from tests._jpeg_encoder import encode_color, encode_gray
+
+
+class TestDecoderRoundTrip:
+    def test_grayscale_q1_near_lossless(self):
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (24, 17)).astype(float)
+        rgb = decode_jpeg_rgb(encode_gray(img))
+        assert rgb.shape == (24, 17, 3)
+        # q=1 quantization: only DCT rounding remains
+        assert np.abs(rgb[:, :, 0].astype(float) - img).max() <= 3
+        # grayscale replicates into all three channels
+        assert (rgb[:, :, 0] == rgb[:, :, 1]).all()
+
+    def test_grayscale_lossy_quant_table(self):
+        img = np.zeros((16, 16))
+        img[:, :8] = 64
+        img[:, 8:] = 192
+        rgb = decode_jpeg_rgb(encode_gray(img, quant=[16] * 64))
+        assert np.abs(rgb[:, :, 0].astype(float) - img).mean() < 12
+
+    def test_color_444(self):
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, (19, 22, 3)).astype(np.uint8)
+        dec = decode_jpeg_rgb(encode_color(img, (1, 1)))
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(float) - img.astype(float)).max() <= 4
+
+    def test_color_420_subsampled(self):
+        xs = np.linspace(0, 255, 32)
+        smooth = np.dstack(
+            [
+                np.tile(xs, (24, 1)),
+                np.tile(xs[::-1], (24, 1)),
+                np.full((24, 32), 100.0),
+            ]
+        ).astype(np.uint8)
+        dec = decode_jpeg_rgb(encode_color(smooth, (2, 2)))
+        assert dec.shape == smooth.shape
+        # chroma subsampling is lossy by design; luma-dominated error
+        # stays small on a smooth gradient
+        assert np.abs(dec.astype(float) - smooth.astype(float)).mean() < 8
+
+    def test_restart_markers(self):
+        rng = np.random.default_rng(13)
+        img = rng.integers(0, 256, (19, 22, 3)).astype(np.uint8)
+        dec = decode_jpeg_rgb(encode_color(img, (1, 1), restart=2))
+        assert np.abs(dec.astype(float) - img.astype(float)).max() <= 4
+
+    def test_non_jpeg_returns_none(self):
+        assert decode_jpeg_rgb(b"") is None
+        assert decode_jpeg_rgb(b"\x89PNG\r\n\x1a\n") is None
+
+    def test_progressive_raises_named(self):
+        # minimal stream with an SOF2 (progressive) marker
+        rng = np.random.default_rng(7)
+        data = bytearray(encode_gray(rng.integers(0, 256, (8, 8)).astype(float)))
+        i = data.index(b"\xff\xc0")
+        data[i + 1] = 0xC2
+        with pytest.raises(NotImplementedError, match="SOF0"):
+            decode_jpeg_rgb(bytes(data))
+
+
+class TestSparkDecodePath:
+    def test_decode_and_resize_reads_jpeg(self, spark, tmp_path):
+        from batch_processing_system_spark.functions.multimodal import (
+            decode_and_resize,
+        )
+        from batch_processing_system_spark.sources.binaryfile import (
+            read_binary_dir,
+        )
+
+        rng = np.random.default_rng(23)
+        img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+        (tmp_path / "x.jpg").write_bytes(encode_color(img, (1, 1)))
+        rows = decode_and_resize(
+            read_binary_dir(spark, str(tmp_path)), 16, 16
+        ).collect()
+        assert len(rows) == 1
+        got = np.array(rows[0]["pixels"], dtype=np.uint8).reshape(16, 16, 3)
+        assert np.abs(got.astype(float) - img.astype(float)).max() <= 4
+
+    def test_metadata_sniff_reports_jpeg_dims(self, spark, tmp_path):
+        from batch_processing_system_spark.functions.multimodal import (
+            extract_media_metadata,
+        )
+        from batch_processing_system_spark.sources.binaryfile import (
+            read_binary_dir,
+        )
+
+        rng = np.random.default_rng(29)
+        img = rng.integers(0, 256, (20, 30, 3)).astype(np.uint8)
+        (tmp_path / "y.jpg").write_bytes(encode_color(img, (2, 2)))
+        [row] = extract_media_metadata(
+            read_binary_dir(spark, str(tmp_path))
+        ).collect()
+        assert row["format"] == "jpeg"
+        assert (row["width"], row["height"]) == (30, 20)
