@@ -125,14 +125,20 @@ def main() -> None:
         "q80 shuffles despite being a per-row computation",
     )
 
-    # tier-1 plans stay JVM-side and codegen'd
+    # tier-1 plans stay JVM-side and codegen'd. Exception: queries whose
+    # DECLARED operator surface is a Python vehicle (mapInPandas etc.
+    # don't print as EvalPython, but a registered @udtf prints as
+    # BatchEvalPythonUDTF) — for those, Python in the plan is the point,
+    # and the oracle still hash-checks the output.
+    PYTHON_IS_THE_SURFACE = {"q85_chunk_udtf"}  # U4 registered UDTF
     for name, spec in sorted(REGISTRY.items()):
         if spec.oracle is None or name not in plans:
             continue
-        check(
-            "EvalPython" not in plans[name],
-            f"{name} is tier-1 but routes through Python ({'ArrowEvalPython' if 'ArrowEvalPython' in plans[name] else 'BatchEvalPython'})",
-        )
+        if name not in PYTHON_IS_THE_SURFACE:
+            check(
+                "EvalPython" not in plans[name],
+                f"{name} is tier-1 but routes through Python ({'ArrowEvalPython' if 'ArrowEvalPython' in plans[name] else 'BatchEvalPython'})",
+            )
         check(
             "codegen id" in plans[name],
             f"{name} has no whole-stage-codegen span ('[codegen id : N]' markers)",
