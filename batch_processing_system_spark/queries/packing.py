@@ -167,17 +167,33 @@ def screened_grams(
     duplication is exactly what a contamination/dedup screen must
     catch — its rarest grams stay matchable, and candidates from an
     exempt gram are bounded by the true duplicate count, i.e. by the
-    size of the finding itself."""
+    size of the finding itself.
+
+    Cost shape: the naive form windows EVERY doc's grams and distincts
+    the union. Two provable equivalences make the screen ~free on
+    ordinary corpora instead: (1) a doc with >= keep_rarest rare grams
+    has its k rarest all rare already (df orders rare before hot), so
+    the window only needs to run over 'needy' docs — typically a
+    vanishing fraction; (2) of a needy doc's k rarest, the rare ones
+    are already in the rare side, so keeping only the HOT rows makes
+    the two sides disjoint by df and the union needs no distinct."""
     dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     gd = grams.join(dfreq, "gram")
     rare = gd.filter(F.col("df") <= df_cut).select(doc_col, "gram")
+    satisfied = (
+        rare.groupBy(doc_col)
+        .agg(F.count(F.lit(1)).alias("n_rare"))
+        .filter(F.col("n_rare") >= keep_rarest)
+        .select(doc_col)
+    )
+    needy = gd.join(satisfied, doc_col, "left_anti")
     per_doc = Window.partitionBy(doc_col).orderBy("df", "gram")
-    rarest_k = (
-        gd.withColumn("rn", F.row_number().over(per_doc))
-        .filter(F.col("rn") <= keep_rarest)
+    rarest_k_hot = (
+        needy.withColumn("rn", F.row_number().over(per_doc))
+        .filter((F.col("rn") <= keep_rarest) & (F.col("df") > df_cut))
         .select(doc_col, "gram")
     )
-    return rare.union(rarest_k).distinct()
+    return rare.unionAll(rarest_k_hot)
 
 
 def contamination_pairs(

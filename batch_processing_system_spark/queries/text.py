@@ -139,13 +139,26 @@ def q46_neardup_jaccard(
     # highest-value dedup target — would generate zero candidates.
     # Candidates from an exempt shingle are bounded by the true cluster
     # size, i.e. proportional to the output itself, never boilerplate.
+    # Cost: only 'needy' docs (fewer than keep_rarest rare shingles)
+    # can gain from the exemption — for any other doc the k rarest by
+    # (df, shingle) are all rare already — and of a needy doc's top-k
+    # only the HOT rows add anything, which also makes the union
+    # disjoint by df (no distinct needed). The window therefore sorts
+    # a vanishing fraction of the shingle set on ordinary corpora.
+    satisfied = (
+        rare.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_rare"))
+        .filter(F.col("n_rare") >= keep_rarest)
+        .select("doc_id")
+    )
+    needy = shd.join(satisfied, "doc_id", "left_anti")
     per_doc = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    rarest_k = (
-        shd.withColumn("rn", F.row_number().over(per_doc))
-        .filter(F.col("rn") <= keep_rarest)
+    rarest_k_hot = (
+        needy.withColumn("rn", F.row_number().over(per_doc))
+        .filter((F.col("rn") <= keep_rarest) & (F.col("df") > df_cut))
         .select("doc_id", "shingle")
     )
-    kept = rare.union(rarest_k).distinct()
+    kept = rare.unionAll(rarest_k_hot)
     a = kept.select(F.col("doc_id").alias("da"), "shingle")
     b = kept.select(F.col("doc_id").alias("db"), "shingle")
     cand = (
