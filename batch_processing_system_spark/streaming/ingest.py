@@ -69,3 +69,50 @@ def stream_results_into_documents(
     return outcomes.writeStream.foreachBatch(merge_batch).option(
         "checkpointLocation", checkpoint
     )
+
+
+def stream_results_into_store(
+    spark: SparkSession,
+    incoming_dir: str,
+    store_root: str,
+    output_schema_json: str,
+    checkpoint: str,
+    now=None,
+    strict: bool = False,
+):
+    """The crash-safe twin of ``stream_results_into_documents``: each
+    micro-batch MERGEs into the manifest-committed store
+    (pipeline/commitstore.py) instead of overwrite-in-place buckets.
+
+    The composition gives streaming exactly-once EFFECTS from Spark's
+    at-least-once foreachBatch contract with no sink-side dedup log:
+
+    - a crash mid-merge never exposes partial state — the staged files
+      are invisible until the atomic manifest link (readers see the
+      previous snapshot, vacuum reclaims the orphan);
+    - a replayed micro-batch after restart re-applies its updates onto
+      docs that already transitioned out of 'in_progress', which the
+      upsert gate makes a no-op (a new manifest version with identical
+      content, not a double-push).
+    """
+    from ..pipeline.commitstore import upsert_store
+
+    outcomes = result_file_stream(spark, incoming_dir)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if now is None:
+            from datetime import datetime, timezone
+
+            batch_now = datetime.now(timezone.utc)
+        elif callable(now):
+            batch_now = now()
+        else:
+            batch_now = now
+        updates = build_update_records(
+            batch_df, output_schema_json, batch_now, strict=strict
+        )
+        upsert_store(batch_df.sparkSession, store_root, updates)
+
+    return outcomes.writeStream.foreachBatch(merge_batch).option(
+        "checkpointLocation", checkpoint
+    )

@@ -67,3 +67,68 @@ class TestContinuousIngest:
         # doc-1 NOT reprocessed: still exactly one appended item
         assert len(state["doc-1"]["event_response"]) == 1
         assert len(state) == 20
+
+
+class TestContinuousIngestCommitStore:
+    """The crash-safe streaming sink: micro-batches MERGE into the
+    manifest-committed store. Replayed batches are no-ops (transition
+    gate) and every micro-batch is one atomic manifest commit."""
+
+    def _setup(self, spark, tmp_path):
+        from batch_processing_system_spark.pipeline.commitstore import init_store
+
+        root = str(tmp_path / "store")
+        docs = spark.createDataFrame(
+            [(f"doc-{i}", "in_progress", [], "{}") for i in range(20)],
+            DOCUMENT_SCHEMA,
+        )
+        init_store(docs, root, n_buckets=4)
+        incoming = tmp_path / "incoming"
+        incoming.mkdir()
+        return root, incoming
+
+    def _run(self, spark, incoming, root, ckpt):
+        from batch_processing_system_spark.streaming.ingest import (
+            stream_results_into_store,
+        )
+
+        q = (
+            stream_results_into_store(
+                spark, str(incoming), root, SCHEMA_JSON, ckpt, T0
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def test_merge_bumps_version_and_is_replay_idempotent(self, spark, tmp_path):
+        from batch_processing_system_spark.pipeline.commitstore import (
+            current_version,
+            read_store,
+        )
+
+        root, incoming = self._setup(spark, tmp_path)
+        ok = json.dumps({"answer": "yes"})
+        (incoming / "wave1.jsonl").write_text(
+            json.dumps(result_line("doc-1", content=ok)) + "\n"
+            + json.dumps(result_line("doc-2", error="boom")) + "\n"
+        )
+        self._run(spark, incoming, root, str(tmp_path / "ckpt"))
+        assert current_version(root) == 2
+        state = {r["_id"]: r for r in read_store(spark, root).collect()}
+        assert state["doc-1"]["ai_status"] == "completed"
+        assert len(state["doc-1"]["event_response"]) == 1
+        assert state["doc-2"]["ai_status"] == "failed"
+        assert state["doc-3"]["ai_status"] == "in_progress"
+
+        # simulate a post-crash replay of the SAME micro-batch: a fresh
+        # checkpoint reprocesses wave1 — the gate makes it a no-op
+        # (new manifest version, identical content, no double-push)
+        self._run(spark, incoming, root, str(tmp_path / "ckpt2"))
+        assert current_version(root) == 3
+        state2 = {r["_id"]: r for r in read_store(spark, root).collect()}
+        assert len(state2["doc-1"]["event_response"]) == 1  # not doubled
+        assert state2["doc-1"]["ai_status"] == "completed"
+        # old snapshot remains readable (time travel)
+        old = {r["_id"]: r for r in read_store(spark, root, version=1).collect()}
+        assert old["doc-1"]["ai_status"] == "in_progress"
