@@ -113,6 +113,15 @@ class HttpBatchRemote:
     def retrieve(self, batch_id: str) -> str:
         return self._json("GET", f"/batches/{batch_id}")["status"]
 
+    def download(self, file_id: str) -> str:
+        """Fetch a file's content to a local path — the seam's file
+        fetch (input-JSONL recovery for failed-job propagation)."""
+        data = self._request("GET", f"/files/{file_id}/content")
+        fd, local = tempfile.mkstemp(suffix=".jsonl", prefix="download-")
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        return local
+
     def result_files(self, batch_id: str):
         b = self._json("GET", f"/batches/{batch_id}")
         paths = []

@@ -73,6 +73,15 @@ class DirectoryRemote:
     def retrieve(self, batch_id: str) -> str:
         return self._read_batch(batch_id)["status"]
 
+    def download(self, file_id: str) -> str:
+        """Local path of an uploaded file's content — the seam's file
+        fetch (used to recover a failed job's custom_ids from its
+        input JSONL)."""
+        path = os.path.join(self.root, "files", f"{file_id}.jsonl")
+        if not os.path.exists(path):
+            raise FileNotFoundError(file_id)
+        return path
+
     def result_files(self, batch_id: str):
         b = self._read_batch(batch_id)
         return b.get("output_file"), b.get("error_file")

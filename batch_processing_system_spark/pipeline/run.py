@@ -161,6 +161,43 @@ def run_poll_cycle(
         polled = spark.createDataFrame(polled_rows, "_id string, openai_status string")
         jobs = apply_poll_results(jobs, polled, now)
 
+    # §5.2 failed/expired: the job row is already 'failed' via F4;
+    # the spec's recommended propagation also marks the job's OWN
+    # in_progress target docs failed so they don't dangle forever.
+    # The job's custom_ids are recovered from its input JSONL
+    # (input_file_id is persisted at submit), and the in_progress
+    # gate scopes the flip to docs this job actually holds.
+    for job_id, status in polled_rows:
+        if status not in ("failed", "expired"):
+            continue
+        job = next(j for j in act if j["_id"] == job_id)
+        try:
+            in_path = with_retry(lambda j=job: remote.download(j["input_file_id"]))
+        except Exception as exc:  # keep the cycle alive (:84)
+            _json_log("ERROR", "failed_job_doc_propagation_failed", str(exc),
+                      job_id=job_id)
+            continue
+        targeted = (
+            spark.read.text(in_path)
+            .select(F.get_json_object("value", "$.custom_id").alias("t_id"))
+            .filter(F.col("t_id").isNotNull())
+            .distinct()
+        )
+        docs = (
+            docs.join(F.broadcast(targeted), docs["_id"] == F.col("t_id"), "left")
+            .withColumn(
+                "ai_status",
+                F.when(
+                    F.col("t_id").isNotNull() & (F.col("ai_status") == "in_progress"),
+                    F.lit("failed"),
+                ).otherwise(F.col("ai_status")),
+            )
+            .drop("t_id")
+        )
+        _json_log("WARN", "job_failed_docs_marked", "remote batch "
+                  f"{status}; targeted docs marked failed", job_id=job_id,
+                  openai_batch_id=job["openai_batch_id"])
+
     # §3.3 for each job whose remote status just became 'completed'.
     for job_id, status in polled_rows:
         if status != "completed":
@@ -180,6 +217,15 @@ def run_poll_cycle(
             docs, _ = process_results(
                 spark, docs, out_path, err_path, job["output_schema_json"], now
             )
+            if err_path:
+                # spec: "Log any content retrieved from the
+                # error_file_id (WARN)" — surfaced as a count, the
+                # lines themselves already became 'failed' updates
+                n_err = spark.read.text(err_path).count()
+                _json_log("WARN", "error_file_content",
+                          f"{n_err} error line(s) in {err_path}",
+                          job_id=job_id,
+                          openai_batch_id=job["openai_batch_id"])
         # Persist the result-file pointers with the status flip (spec
         # schema fills output_file_id/error_file_id on completion) so a
         # crash after this point leaves a resumable, self-describing row.

@@ -45,6 +45,7 @@ class FakeRemote:
         self.files = result_files_map or {}
         self.fails_remaining = fail_first_n
         self.calls = 0
+        self.uploaded_paths = {}
 
     def _maybe_fail(self):
         self.calls += 1
@@ -54,7 +55,12 @@ class FakeRemote:
 
     def upload(self, path):
         self._maybe_fail()
+        self.uploaded_paths["file-input-001"] = path
         return "file-input-001"
+
+    def download(self, file_id):
+        self._maybe_fail()
+        return self.uploaded_paths[file_id]
 
     def create_batch(self, file_id):
         self._maybe_fail()
@@ -168,6 +174,22 @@ class TestPollCycle:
         jobs2, _ = run_poll_cycle(spark, jobs, docs2, remote, T0)
         assert jobs2.collect()[0]["status"] == "failed"
         assert active_jobs(jobs2).count() == 0
+
+    def test_failed_job_propagates_to_targeted_docs(self, spark, docs, tmp_path):
+        """Spec §5 failed/expired recommendation: the job's OWN
+        in_progress docs flip to failed (custom_ids recovered from the
+        persisted input JSONL); untargeted docs are untouched."""
+        remote = FakeRemote(statuses={"batch-001": "failed"})
+        jobs, docs2 = self._submitted_jobs(spark, docs, tmp_path, remote)
+        _, docs3 = run_poll_cycle(spark, jobs, docs2, remote, T0)
+        state = {r["_id"]: r["ai_status"] for r in docs3.collect()}
+        # docs 0-2 were targeted (submit marked them in_progress)
+        assert state["doc-000"] == "failed"
+        assert state["doc-001"] == "failed"
+        assert state["doc-002"] == "failed"
+        # docs 3-4 were never targeted
+        assert state["doc-003"] == "pending"
+        assert state["doc-004"] == "pending"
 
     def test_completed_job_processes_results(self, spark, docs, tmp_path):
         ok = json.dumps({"sentiment": "positive", "score": 0.9})
