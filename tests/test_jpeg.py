@@ -107,3 +107,46 @@ class TestSparkDecodePath:
         ).collect()
         assert row["format"] == "jpeg"
         assert (row["width"], row["height"]) == (30, 20)
+
+
+class TestJpegProperty:
+    """Property: for ANY 8-bit image at quantizer=1, decode(encode(x))
+    differs from x only by DCT rounding — bounded error, exact shape.
+    Both the grayscale and color-4:4:4 paths, random dims including
+    non-multiples of 8."""
+
+    def test_random_grayscale_roundtrips(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=15, deadline=None)
+        @given(
+            h=st.integers(1, 40),
+            w=st.integers(1, 40),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def check(h, w, seed):
+            rng = np.random.default_rng(seed)
+            img = rng.integers(0, 256, (h, w)).astype(float)
+            rgb = decode_jpeg_rgb(encode_gray(img))
+            assert rgb.shape == (h, w, 3)
+            assert np.abs(rgb[:, :, 0].astype(float) - img).max() <= 3
+
+        check()
+
+    def test_random_color_roundtrips(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=10, deadline=None)
+        @given(
+            h=st.integers(1, 32),
+            w=st.integers(1, 32),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def check(h, w, seed):
+            rng = np.random.default_rng(seed)
+            img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            dec = decode_jpeg_rgb(encode_color(img, (1, 1)))
+            assert dec.shape == img.shape
+            assert np.abs(dec.astype(float) - img.astype(float)).max() <= 5
+
+        check()
