@@ -22,7 +22,14 @@ from pyspark.sql import functions as F
 
 from ..functions.json_schema import conformance_predicate, make_validator_udf
 from ..sources.jsonl import read_jsonl
-from .schemas import EVENT_RESPONSE_ITEM, RESULT_LINE_SCHEMA
+from .schemas import (
+    EVENT_RESPONSE_ITEM,
+    RESULT_LINE_SCHEMA,
+    STATUS_COMPLETED,
+    STATUS_FAILED,
+    STATUS_FIELD,
+    STATUS_IN_PROGRESS,
+)
 
 
 def load_outcomes(
@@ -79,7 +86,7 @@ def build_update_records(
     )
     return df.select(
         "custom_id",
-        F.when(valid, F.lit("completed")).otherwise(F.lit("failed")).alias("new_status"),
+        F.when(valid, F.lit(STATUS_COMPLETED)).otherwise(F.lit(STATUS_FAILED)).alias("new_status"),
         new_item.alias("new_item"),
     )
 
@@ -112,11 +119,11 @@ def upsert_documents(docs: DataFrame, updates: DataFrame) -> DataFrame:
         F.col("new_item"),
     )
     merged = docs.join(u, docs["_id"] == u.u_id, "left")
-    applies = F.col("new_status").isNotNull() & (F.col("ai_status") == "in_progress")
+    applies = F.col("new_status").isNotNull() & (F.col(STATUS_FIELD) == STATUS_IN_PROGRESS)
     empty = F.array().cast(f"array<{EVENT_RESPONSE_ITEM.simpleString()}>")
     return merged.select(
         "_id",
-        F.when(applies, F.col("new_status")).otherwise(F.col("ai_status")).alias("ai_status"),
+        F.when(applies, F.col("new_status")).otherwise(F.col(STATUS_FIELD)).alias(STATUS_FIELD),
         F.when(
             applies & F.col("new_item").isNotNull(),
             F.concat(F.coalesce(F.col("event_response"), empty), F.array(F.col("new_item"))),

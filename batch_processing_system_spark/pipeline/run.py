@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .process import process_results
+from .schemas import STATUS_FAILED, STATUS_FIELD, STATUS_IN_PROGRESS
 from .state import active_jobs, apply_poll_results, new_job_row
 from .validate import validate_submission
 
@@ -119,9 +120,9 @@ def submit_batch(
     marked = (
         docs.join(targeted, docs["_id"] == F.col("t_id"), "left")
         .withColumn(
-            "ai_status",
-            F.when(F.col("t_id").isNotNull(), F.lit("in_progress")).otherwise(
-                F.col("ai_status")
+            STATUS_FIELD,
+            F.when(F.col("t_id").isNotNull(), F.lit(STATUS_IN_PROGRESS)).otherwise(
+                F.col(STATUS_FIELD)
             ),
         )
         .drop("t_id")
@@ -186,11 +187,12 @@ def run_poll_cycle(
         docs = (
             docs.join(F.broadcast(targeted), docs["_id"] == F.col("t_id"), "left")
             .withColumn(
-                "ai_status",
+                STATUS_FIELD,
                 F.when(
-                    F.col("t_id").isNotNull() & (F.col("ai_status") == "in_progress"),
-                    F.lit("failed"),
-                ).otherwise(F.col("ai_status")),
+                    F.col("t_id").isNotNull()
+                    & (F.col(STATUS_FIELD) == STATUS_IN_PROGRESS),
+                    F.lit(STATUS_FAILED),
+                ).otherwise(F.col(STATUS_FIELD)),
             )
             .drop("t_id")
         )

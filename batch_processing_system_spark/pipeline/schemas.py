@@ -157,3 +157,12 @@ TERMINAL_REMOTE = REMOTE_TO_INTERNAL
 TRANSIENT_REMOTE = ("validating", "in_progress", "finalizing")
 # internal statuses excluded from the poll cycle (F3 selection)
 INACTIVE_INTERNAL = ("completed", "failed", "cancelled")
+
+# Target-document status contract (/root/reference/README.md:163-165:
+# STATUS_FIELD_NAME and STATUS_VALUES are deployment-configurable).
+# Every pipeline module references these constants, so a deployment
+# renames the field or the values in exactly one place.
+STATUS_FIELD = "ai_status"
+STATUS_IN_PROGRESS = "in_progress"
+STATUS_COMPLETED = "completed"
+STATUS_FAILED = "failed"
