@@ -35,6 +35,7 @@ from datetime import datetime, timezone
 
 from pyspark.sql import SparkSession
 
+from .httpremote import HttpBatchRemote
 from .localremote import DirectoryRemote
 from .run import run_poll_cycle, submit_batch
 from .schemas import BATCH_JOB_SCHEMA, DOCUMENT_SCHEMA
@@ -55,6 +56,20 @@ def _parse_now(value: str | None):
     return datetime.fromisoformat(value)
 
 
+def _make_remote(args: argparse.Namespace):
+    """The remote seam from CLI flags: --remote-url selects the HTTP
+    wire client (api key from $BATCH_API_KEY, per the spec's
+    env-provided credential), --remote the directory fake. Same
+    four-method object either way — nothing downstream changes."""
+    if getattr(args, "remote_url", None):
+        import os as _os
+
+        return HttpBatchRemote(args.remote_url, api_key=_os.environ.get("BATCH_API_KEY", ""))
+    if not args.remote:
+        raise SystemExit("one of --remote / --remote-url is required")
+    return DirectoryRemote(args.remote)
+
+
 def cmd_submit(args: argparse.Namespace) -> int:
     spark = _get_spark()
     if args.schema_file:
@@ -63,7 +78,7 @@ def cmd_submit(args: argparse.Namespace) -> int:
         schema_json = args.schema_json
     docs = _read_state(spark, args.docs, DOCUMENT_SCHEMA)
     jobs = _read_state(spark, args.jobs, BATCH_JOB_SCHEMA)
-    remote = DirectoryRemote(args.remote)
+    remote = _make_remote(args)
     job_id = args.job_id or f"job-{uuid.uuid4().hex[:12]}"
 
     out = submit_batch(
@@ -93,7 +108,7 @@ def cmd_poll(args: argparse.Namespace) -> int:
     spark = _get_spark()
     docs = _read_state(spark, args.docs, DOCUMENT_SCHEMA)
     jobs = _read_state(spark, args.jobs, BATCH_JOB_SCHEMA)
-    remote = DirectoryRemote(args.remote)
+    remote = _make_remote(args)
     n_active_before = active_jobs(jobs).count()
 
     new_jobs, new_docs = run_poll_cycle(spark, jobs, docs, remote, _parse_now(args.now))
@@ -148,7 +163,9 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--schema-file", help="file containing the output JSON Schema")
     s.add_argument("--docs", required=True, help="documents parquet dir")
     s.add_argument("--jobs", required=True, help="batch_jobs parquet dir")
-    s.add_argument("--remote", required=True, help="DirectoryRemote root")
+    s.add_argument("--remote", default=None, help="DirectoryRemote root")
+    s.add_argument("--remote-url", default=None,
+                   help="HTTP batch API base URL (overrides --remote; key from $BATCH_API_KEY)")
     s.add_argument("--collection", default="documents")
     s.add_argument("--mongodb-uri", default="store://local")
     s.add_argument("--job-id", default=None, help="fixed job id (tests)")
@@ -158,7 +175,8 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("poll", help="one scheduled poller tick")
     p.add_argument("--docs", required=True)
     p.add_argument("--jobs", required=True)
-    p.add_argument("--remote", required=True)
+    p.add_argument("--remote", default=None)
+    p.add_argument("--remote-url", default=None)
     p.add_argument("--now", default=None, help="ISO timestamp override (tests)")
     p.set_defaults(fn=cmd_poll)
 
