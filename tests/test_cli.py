@@ -127,3 +127,70 @@ class TestCliLifecycle:
         assert body["details"][0]["line"] == 2
         # rejected submissions leave no state behind
         assert not os.path.exists(state["jobs"])
+
+
+class TestCliHttpRemote:
+    def test_submit_poll_complete_over_http(self, spark, state):
+        """The same lifecycle through --remote-url: CLI subprocesses
+        talk to an in-test stub batch API over localhost — the
+        deployable wire path end-to-end."""
+        import threading
+        from http.server import HTTPServer
+
+        from .test_httpremote import API_KEY, StubBatchAPI
+
+        StubBatchAPI.files = {}
+        StubBatchAPI.batches = {}
+        StubBatchAPI.seen_requests = []
+        srv = HTTPServer(("127.0.0.1", 0), StubBatchAPI)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        try:
+            env_extra = {"BATCH_API_KEY": API_KEY}
+            import os as _os
+            import subprocess as _sp
+            import sys as _sys
+
+            def run(*argv):
+                env = dict(_os.environ, PYTHONPATH=REPO, **env_extra)
+                proc = _sp.run(
+                    [_sys.executable, "-m", "batch_processing_system_spark.pipeline", *argv],
+                    capture_output=True, text=True, cwd=REPO, env=env, timeout=300,
+                )
+                lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+                return proc.returncode, (json.loads(lines[-1]) if lines else None), proc.stderr
+
+            rc, body, err = run(
+                "submit", "--jsonl", state["req"], "--schema-json", SCHEMA_JSON,
+                "--docs", state["docs"], "--jobs", state["jobs"],
+                "--remote-url", url, "--job-id", "job-http",
+                "--now", "2024-01-01T12:00:00",
+            )
+            assert rc == 0, err[-2000:]
+            assert body == {"job_id": "job-http"}
+            assert len(StubBatchAPI.files) == 1  # upload hit the wire
+
+            # complete the batch remotely with a result file
+            ok = json.dumps({"sentiment": "positive", "score": 0.9})
+            StubBatchAPI.files["file-res"] = (
+                "\n".join(
+                    json.dumps(result_line(i, content=ok)) for i in range(2)
+                ) + "\n"
+            ).encode()
+            bid = next(iter(StubBatchAPI.batches))
+            StubBatchAPI.batches[bid].update(
+                status="completed", output_file_id="file-res"
+            )
+
+            rc, body, err = run(
+                "poll", "--docs", state["docs"], "--jobs", state["jobs"],
+                "--remote-url", url, "--now", "2024-01-01T12:05:00",
+            )
+            assert rc == 0, err[-2000:]
+            assert body["active_after"] == 0
+            assert body["status_counts"] == {"completed": 1}
+            docs = {r["_id"]: r for r in spark.read.parquet(state["docs"]).collect()}
+            assert docs["doc-000"]["ai_status"] == "completed"
+            assert len(docs["doc-000"]["event_response"]) == 1
+        finally:
+            srv.shutdown()
