@@ -132,6 +132,73 @@ def connected_components(pairs: DataFrame, max_rounds: int = 64) -> DataFrame:
     )
 
 
+def _semantic_dedup_oracle() -> str:
+    # Imported lazily at module load via the f-string below; kept as a
+    # function-free constant builder so the SQL reads top-to-bottom.
+    from .similarity import COSINE_NEARDUP_SQL
+
+    return f"""
+    WITH RECURSIVE
+    pairs AS (SELECT vec_id_a, vec_id_b FROM ({COSINE_NEARDUP_SQL}) cp),
+    edges AS (SELECT vec_id_a AS a, vec_id_b AS b FROM pairs
+              UNION SELECT vec_id_b, vec_id_a FROM pairs),
+    reach(src, dst) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (
+        SELECT src AS vec_id, LEAST(src, MIN(dst)) AS component
+        FROM reach GROUP BY src
+    )
+    SELECT e.vec_id,
+           COALESCE(c.component, e.vec_id) AS component,
+           COALESCE(c.component, e.vec_id) = e.vec_id AS kept
+    FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id
+    """
+
+
+@register(
+    "q87_semantic_dedup",
+    _semantic_dedup_oracle(),
+    doc="X2/X2b composed — SemDeDup-shape semantic deduplication (Abbas "
+    "et al. 2023, 'SemDeDup: Data-efficient learning at web-scale "
+    "through semantic deduplication'): embedding-cosine near-dup pairs "
+    "(exact, cos >= 0.45 — q54's capped-broadcast/LSH generator) form "
+    "a pair graph; connected components assign every vector a cluster; "
+    "one representative per cluster (min vec_id) is kept and the rest "
+    "are dropped. Output: every vector with its component label and "
+    "kept flag — the drop list IS the rows with kept = false. Scale "
+    "posture: the pair generator never goes O(n²) past the broadcast "
+    "budget (LSH bucketing takes over), components iterate on the "
+    "pair graph only (a vanishing fraction of the corpus), and the "
+    "final labeling is one left join of corpus ids against the "
+    "component map. Oracle: recursive-CTE transitive closure over the "
+    "same exact pair SQL. Tier-1: pair membership margins measured at "
+    "q54 (>=5.5e-4 from threshold), component labels are integer "
+    "min-reachability — no float in the hashed output.",
+)
+def q87_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import q54_cosine_neardup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = q54_cosine_neardup(spark, sf_dir).select(
+        F.col("vec_id_a").alias("doc_id_a"), F.col("vec_id_b").alias("doc_id_b")
+    )
+    comp = connected_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), "component"
+    )
+    return (
+        emb.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", F.col("vec_id")).alias("component"),
+            (F.coalesce("component", F.col("vec_id")) == F.col("vec_id")).alias("kept"),
+        )
+    )
+
+
 _CURATION_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, lang,

@@ -169,31 +169,27 @@ def screened_grams(
     exempt gram are bounded by the true duplicate count, i.e. by the
     size of the finding itself.
 
-    Cost shape: the naive form windows EVERY doc's grams and distincts
-    the union. Two provable equivalences make the screen ~free on
-    ordinary corpora instead: (1) a doc with >= keep_rarest rare grams
-    has its k rarest all rare already (df orders rare before hot), so
-    the window only needs to run over 'needy' docs — typically a
-    vanishing fraction; (2) of a needy doc's k rarest, the rare ones
-    are already in the rare side, so keeping only the HOT rows makes
-    the two sides disjoint by df and the union needs no distinct."""
-    dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    gd = grams.join(dfreq, "gram")
-    rare = gd.filter(F.col("df") <= df_cut).select(doc_col, "gram")
-    satisfied = (
-        rare.groupBy(doc_col)
-        .agg(F.count(F.lit(1)).alias("n_rare"))
-        .filter(F.col("n_rare") >= keep_rarest)
-        .select(doc_col)
-    )
-    needy = gd.join(satisfied, doc_col, "left_anti")
+    Cost shape: two shuffles — a count window keyed by gram (document
+    frequency without a groupBy+join round-trip) and a row_number
+    window keyed by doc (no skew beyond document length: a doc's gram
+    count is bounded by its token count). An earlier formulation split
+    rare/needy sides to skip the per-doc window for docs already
+    holding keep_rarest rare grams; measured at sf0.1 those extra
+    groupBy + anti-join + union stages cost more than the window they
+    saved, so this keeps the flat two-window form — the oracle SQL's
+    own shape. Skew: a boilerplate gram lands all its rows in one
+    window partition, but a groupBy+join formulation shuffles the SAME
+    rows to the SAME key for the join-back, so the distribution is
+    identical either way — and the screen's whole point is that those
+    hot rows are then dropped before any join can amplify them."""
+    per_gram = Window.partitionBy("gram")
     per_doc = Window.partitionBy(doc_col).orderBy("df", "gram")
-    rarest_k_hot = (
-        needy.withColumn("rn", F.row_number().over(per_doc))
-        .filter((F.col("rn") <= keep_rarest) & (F.col("df") > df_cut))
+    return (
+        grams.withColumn("df", F.count(F.lit(1)).over(per_gram))
+        .withColumn("rn", F.row_number().over(per_doc))
+        .filter((F.col("df") <= df_cut) | (F.col("rn") <= keep_rarest))
         .select(doc_col, "gram")
     )
-    return rare.unionAll(rarest_k_hot)
 
 
 def contamination_pairs(
@@ -213,7 +209,9 @@ def contamination_pairs(
     its exempt rarest grams. n_shared_grams therefore counts shared
     SCREENED grams — distinctive overlap, not boilerplate overlap —
     and the oracle SQL reproduces the screen exactly."""
-    grams = distinct_word_ngrams(docs, n)
+    # the gram table feeds both splits (and, through the screen, several
+    # more consumers); checkpoint once so explode+distinct runs once
+    grams = distinct_word_ngrams(docs, n).localCheckpoint(eager=True)
     ev = grams.filter(F.col("doc_id") % eval_mod == 0).select(
         F.col("doc_id").alias("eval_doc_id"), "gram"
     )

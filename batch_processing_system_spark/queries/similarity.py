@@ -428,9 +428,9 @@ def _cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
     )
 
 
-@register(
-    "q54_cosine_neardup",
-    """
+# Exact cosine>=0.45 pair set over the embeddings table — q54's oracle,
+# and the pair-graph input to q87's semantic-dedup components oracle.
+COSINE_NEARDUP_SQL = """
     WITH n AS (
       SELECT vec_id, embedding,
              sqrt(list_sum(list_transform(embedding,
@@ -446,7 +446,12 @@ def _cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
     )
     SELECT vec_id_a, vec_id_b, ROUND(cos, 4) AS cos_sim
     FROM p WHERE cos >= 0.45
-    """,
+    """
+
+
+@register(
+    "q54_cosine_neardup",
+    COSINE_NEARDUP_SQL,
     doc="X2 embedding-cosine near-dup pairs (cos ≥ 0.45), exact, via a "
     "broadcast matrix + Arrow-batched mapInPandas: each partition "
     "multiplies its rows against the full normalized matrix (numpy "

@@ -390,3 +390,65 @@ class TestChunkUdtf:
             ).count()
             == 0
         )
+
+
+class TestQ87SemanticDedup:
+    """SemDeDup-shape embedding dedup: transitive closure over the exact
+    cosine pair graph, min-id representative kept per component."""
+
+    def _embeddings(self, spark, tmp_path):
+        import math
+
+        def at(deg):
+            r = math.radians(deg)
+            # 4-d so the broadcast matrix path exercises real vectors
+            return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+        rows = [
+            (0, at(0), 0),    # chain a—b—c: cos(a,b)=cos(b,c)=.707,
+            (1, at(45), 0),   # cos(a,c)=0 < .45 — components must close
+            (2, at(90), 0),   # the chain transitively
+            (3, at(180), 1),  # identical pair
+            (4, at(180), 1),
+            (5, at(270), 2),  # singleton (cos <= 0 vs everything)
+        ]
+        spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label int"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "embeddings.parquet")
+        )
+        return str(tmp_path)
+
+    def test_components_and_representatives(self, spark, tmp_path):
+        from batch_processing_system_spark.queries.curation import q87_semantic_dedup
+
+        sf_dir = self._embeddings(spark, tmp_path)
+        out = {
+            r["vec_id"]: (r["component"], r["kept"])
+            for r in q87_semantic_dedup(spark, sf_dir).collect()
+        }
+        assert out == {
+            0: (0, True),
+            1: (0, False),
+            2: (0, False),
+            3: (3, True),
+            4: (3, False),
+            5: (5, True),
+        }
+
+    def test_drop_rate_matches_pair_graph(self, spark):
+        """On real fixtures: #dropped == #vectors that are a non-min
+        member of some component — i.e. survivors are exactly one per
+        component."""
+        from batch_processing_system_spark.queries.curation import q87_semantic_dedup
+
+        out = q87_semantic_dedup(spark, "/root/testdata/sf0.001")
+        per_comp = out.groupBy("component").agg(
+            F.sum(F.col("kept").cast("int")).alias("n_kept"),
+            F.min("vec_id").alias("min_id"),
+            F.first("component").alias("c"),
+        )
+        bad = per_comp.filter(
+            (F.col("n_kept") != 1) | (F.col("min_id") != F.col("c"))
+        ).count()
+        assert bad == 0
