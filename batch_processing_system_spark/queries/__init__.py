@@ -74,6 +74,7 @@ def _ensure_loaded() -> None:
         analytics,
         curation,
         packing,
+        retrieval,
     )
 
     _LOADED = True
