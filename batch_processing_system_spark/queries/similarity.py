@@ -421,9 +421,15 @@ def _cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
         .select(
             F.col("datasetA.vec_id").alias("vec_id_a"),
             F.col("datasetB.vec_id").alias("vec_id_b"),
-            F.round(cos, 4).alias("cos_sim"),
+            cos.alias("cos_raw"),
         )
-        .filter(F.col("cos_sim") >= threshold)
+        # threshold on the UNROUNDED cosine — the broadcast path and the
+        # oracle both do; filtering the rounded value would admit pairs
+        # in [threshold - 5e-5, threshold) that they exclude
+        .filter(F.col("cos_raw") >= threshold)
+        .select(
+            "vec_id_a", "vec_id_b", F.round("cos_raw", 4).alias("cos_sim")
+        )
         .distinct()
     )
 
