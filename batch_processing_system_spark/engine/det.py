@@ -52,3 +52,13 @@ def epoch_s(col: str | Column = "ts") -> Column:
     BIGINT)`` (D6: never hash raw ns-precision timestamps)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.unix_timestamp(c)
+
+
+def epoch_us(col: str | Column = "ts") -> Column:
+    """Microsecond epoch for ordering/range frames. Casts to TIMESTAMP
+    first because ``unix_micros`` rejects TIMESTAMP_NTZ (which
+    un-annotated parquet timestamp[us] produces) — with the session
+    timezone pinned to UTC the cast is the identity on the wall clock,
+    matching DuckDB's naive-UTC reading."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))

@@ -47,6 +47,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Un-annotated parquet timestamp[us] (the driver's current output)
+        # reads as TIMESTAMP_NTZ in Spark 4, which unix_micros() and
+        # friends reject. With the session timezone pinned to UTC above,
+        # casting NTZ -> TIMESTAMP interprets the wall clock as UTC —
+        # exactly how the DuckDB oracle treats naive timestamps — so
+        # every downstream consumer sees one canonical TIMESTAMP type
+        # regardless of which flavor the testdata was written with.
+        if dict(df.dtypes).get("ts") == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -22,7 +22,6 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..functions.json_schema import compile_json_schema
 from ..sources.jsonl import read_jsonl_with_lines
@@ -83,11 +82,11 @@ def validate_submission(
     well_formed = lines.filter(F.coalesce(ok, F.lit(False)))
 
     # A1 + W1 — single-model check; the batch model is the FIRST line's
-    # (/root/reference/README.md:61), via row_number not first() (D4).
-    w = Window.orderBy("line_id")
-    first_model_row = (
-        well_formed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).collect()
-    )
+    # (/root/reference/README.md:61). orderBy+limit(1) plans a
+    # TakeOrderedAndProject — deterministic like row_number (line_id is
+    # unique, D4) but without funnelling the whole file through one
+    # partition's sort.
+    first_model_row = well_formed.orderBy("line_id").limit(1).collect()
     model = first_model_row[0]["body"]["model"] if first_model_row else None
     model_errors = well_formed.filter(F.col("body.model") != F.lit(model)).select(
         F.lit("model_mismatch").alias("type"),

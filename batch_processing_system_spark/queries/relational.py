@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..engine.det import bcount
+from ..engine.det import bcount, epoch_us
 from ..engine.io import load_table
 from . import register
 
@@ -231,7 +231,7 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(epoch_us("ts"))
         .rangeBetween(Window.unboundedPreceding, -1)
     )
     return (

@@ -58,7 +58,13 @@ def bm25_topk(
     (per-term document frequency) and the scalar stats (N, avgdl) are
     vocabulary-sized and broadcast; per-(doc,term) scores are map-side
     arithmetic; the per-doc sum is DECIMAL-exact (D1) and the top-k is
-    a TakeOrderedAndProject with doc_id tiebreak (D3)."""
+    a TakeOrderedAndProject with doc_id tiebreak (D3).
+
+    ``query_terms`` is an arbitrary user bag: duplicates are collapsed
+    (a repeated term must not double its df or score twice) and terms
+    pass through typed literal columns only — never spliced into SQL
+    text — so quotes/commas in a term cannot break or inject the plan."""
+    query_terms = list(dict.fromkeys(query_terms))
     # ONE corpus pass: doc length and each query term's tf in a single
     # explode + groupBy; everything downstream is doc-sized or smaller.
     # The checkpoint stops the three consumers (stats, df, scoring)
@@ -78,12 +84,24 @@ def bm25_topk(
     stats = perdoc.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    stack_args = ", ".join(f"'{t}', tf_{i}" for i, t in enumerate(query_terms))
-    tf = perdoc.select(
-        "doc_id",
-        "dl",
-        F.expr(f"stack({len(query_terms)}, {stack_args}) AS (token, tf)"),
-    ).filter(F.col("tf") > 0)
+    tf = (
+        perdoc.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("token"), F.col(f"tf_{i}").alias("tf")
+                        )
+                        for i, t in enumerate(query_terms)
+                    ]
+                )
+            ).alias("kv"),
+        )
+        .select("doc_id", "dl", "kv.token", "kv.tf")
+        .filter(F.col("tf") > 0)
+    )
     df_tab = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(df_tab), "token").crossJoin(F.broadcast(stats))
     idf = F.log(

@@ -116,6 +116,43 @@ class TestBM25:
         assert worst > 1e-6, worst  # i.e. > 1e-12 absolute — 1000x double noise
 
 
+class TestBM25TermHandling:
+    """ADVICE r3 low item: query terms must pass through typed columns
+    (no SQL splicing) and a repeated term must not double-count df or
+    score twice."""
+
+    CORPUS = [
+        (1, "join join hash x y"),
+        (2, "join filler filler filler"),
+        (3, "hash only here"),
+        (4, "nothing relevant at all"),
+    ]
+
+    def test_duplicate_terms_collapse(self, spark):
+        docs = _docs(spark, self.CORPUS)
+        once = {r["doc_id"]: r["bm25"] for r in bm25_topk(docs, ["join", "hash"]).collect()}
+        dup = {
+            r["doc_id"]: r["bm25"]
+            for r in bm25_topk(docs, ["join", "hash", "join", "join"]).collect()
+        }
+        assert once == dup and len(once) == 3
+
+    def test_quote_bearing_term_is_safe(self, spark):
+        # would have broken (or worse, injected) the old stack() splice
+        docs = _docs(
+            spark,
+            [(1, "o'brien said hello"), (2, "plain words only"), (3, "o'brien o'brien")],
+        )
+        out = {r["doc_id"]: r["bm25"] for r in bm25_topk(docs, ["o'brien"]).collect()}
+        assert set(out) == {1, 3}
+        assert out[3] > out[1]  # higher tf wins, same dl-ish
+
+    def test_comma_and_paren_terms_are_safe(self, spark):
+        docs = _docs(spark, [(1, "a,b (c) d"), (2, "a,b x y"), (3, "clean")])
+        out = {r["doc_id"]: r["bm25"] for r in bm25_topk(docs, ["a,b", "(c)"]).collect()}
+        assert set(out) == {1, 2}
+
+
 class TestUnigramPPL:
     def test_uniform_corpus_hits_log_vocab(self, spark):
         # 4 equally-frequent words -> every doc's avg NLL == ln(4)
@@ -133,6 +170,41 @@ class TestUnigramPPL:
         out = {r["doc_id"]: r["avg_nll"] for r in unigram_nll(docs).collect()}
         # doc 1 repeats the corpus's dominant token -> far more likely
         assert out[1] < out[2]
+
+    def test_4dp_margins_on_fixture_corpus(self, spark):
+        """Mirror of BM25's test_6dp_margins: q89's tier-1 claim rests
+        on ROUND(avg_nll, 4) agreeing across engines, which needs every
+        per-doc average to sit far from a 4dp rounding boundary AND far
+        from the keep threshold. Measured at sf0.01 (the driver's
+        correctness SF): worst boundary margin 3.3e-3 in 1e-4 units
+        (3.3e-7 absolute, ~1e6x double noise), min threshold distance
+        6.6e-3."""
+        import duckdb
+        from collections import Counter
+
+        con = duckdb.connect()
+        rows = con.execute(
+            "SELECT doc_id, text FROM "
+            "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+        ).fetchall()
+        docs = {i: [w for w in t.split(" ") if w] for i, t in rows}
+        corpus: Counter = Counter()
+        for ws in docs.values():
+            corpus.update(ws)
+        total = sum(corpus.values())
+        nll6 = {t: round(-math.log(c / total), 6) for t, c in corpus.items()}
+        worst, worst_thr = 1.0, 10.0
+        for ws in docs.values():
+            tf = Counter(ws)
+            avg = sum(f * nll6[t] for t, f in tf.items()) / len(ws)
+            frac = abs(avg * 1e4 - round(avg * 1e4))
+            worst = min(worst, min(frac, 1 - frac))
+            worst_thr = min(worst_thr, abs(round(avg, 4) - PPL_NLL_THRESHOLD))
+        # distance to a 4dp boundary, in units of 1e-4
+        assert worst > 1e-4, worst  # > 1e-8 absolute
+        # the keep flag compares the already-rounded value; it must not
+        # sit on the threshold either
+        assert worst_thr > 1e-3, worst_thr
 
     def test_keep_flag_consistent_with_threshold(self, spark):
         from batch_processing_system_spark.queries.retrieval import q89_unigram_ppl
