@@ -176,13 +176,23 @@ def _semantic_dedup_oracle() -> str:
     "component map. Oracle: recursive-CTE transitive closure over the "
     "same exact pair SQL. Tier-1: pair membership margins measured at "
     "q54 (>=5.5e-4 from threshold), component labels are integer "
-    "min-reachability — no float in the hashed output.",
+    "min-reachability — no float in the hashed output. The pair set is "
+    "exact-by-construction only on the broadcast route; on the "
+    "above-budget LSH route exactness is MEASURED, not structural: "
+    "tests force the LSH route (shrunken budget) and hash-match the "
+    "oracle at every test SF (6 hash tables recover 100% of the "
+    "cos>=0.45 pairs there). A recall probe on a larger corpus is the "
+    "deploy-time gate at 100 TB.",
 )
-def q87_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q87_semantic_dedup(
+    spark: SparkSession, sf_dir: str, broadcast_budget_bytes: int | None = None
+) -> DataFrame:
     from .similarity import q54_cosine_neardup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = q54_cosine_neardup(spark, sf_dir).select(
+    pairs = q54_cosine_neardup(
+        spark, sf_dir, broadcast_budget_bytes=broadcast_budget_bytes
+    ).select(
         F.col("vec_id_a").alias("doc_id_a"), F.col("vec_id_b").alias("doc_id_b")
     )
     comp = connected_components(pairs).select(

@@ -470,7 +470,10 @@ COSINE_NEARDUP_SQL = """
     "sf0.01 every pair's cosine sits ≥5.5e-4 from the 0.45 threshold "
     "and ≥2.4e-6 from its 4dp rounding boundary (measured), so the "
     "numpy and DuckDB float paths (both double) agree bit-for-bit "
-    "after ROUND(...,4).",
+    "after ROUND(...,4). The LSH route's recall is MEASURED, not "
+    "guaranteed: on every test SF its pair set is identical to the "
+    "broadcast route's (tests force it via the budget param); a "
+    "production corpus should re-probe recall before trusting it.",
 )
 def q54_cosine_neardup(
     spark: SparkSession, sf_dir: str, broadcast_budget_bytes: int | None = None

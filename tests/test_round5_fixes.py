@@ -79,6 +79,66 @@ class TestTimestampFlavorProof:
         assert row["a"] == row["b"] == 1_767_225_601_000_000
 
 
+class TestQ87AboveBudgetRoute:
+    """VERDICT r4 item 2: the above-budget pair generator
+    (_cosine_pairs_lsh) was never validated end-to-end for q87 — one
+    missed edge splits a component and flips many kept flags. These
+    tests force the LSH route by shrinking the broadcast budget to a
+    single byte and demand exact agreement with the oracle."""
+
+    def _oracle(self, sf_dir, sql):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        return con.execute(sql).fetchall()
+
+    @pytest.mark.parametrize(
+        "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    )
+    def test_q54_lsh_route_matches_broadcast_route(self, spark, sf_dir):
+        from batch_processing_system_spark.queries.similarity import (
+            q54_cosine_neardup,
+        )
+
+        exact = sorted(
+            map(tuple, q54_cosine_neardup(spark, sf_dir).collect())
+        )
+        lsh = sorted(
+            map(
+                tuple,
+                q54_cosine_neardup(
+                    spark, sf_dir, broadcast_budget_bytes=1
+                ).collect(),
+            )
+        )
+        assert len(exact) > 0
+        assert lsh == exact
+
+    def test_q87_through_lsh_route_matches_oracle(self, spark):
+        from batch_processing_system_spark.queries import REGISTRY, _ensure_loaded
+        from batch_processing_system_spark.queries.curation import (
+            q87_semantic_dedup,
+        )
+
+        _ensure_loaded()
+        sf_dir = "/root/testdata/sf0.001"
+        got = sorted(
+            map(
+                tuple,
+                q87_semantic_dedup(
+                    spark, sf_dir, broadcast_budget_bytes=1
+                ).collect(),
+            )
+        )
+        want = sorted(self._oracle(sf_dir, REGISTRY["q87_semantic_dedup"].oracle))
+        assert len(got) > 0
+        assert got == want
+
+
 class TestFirstLineLookupPlan:
     """VERDICT r4 item 6: the validation first-line lookup must plan a
     TakeOrderedAndProject, not a global single-partition Window sort."""
