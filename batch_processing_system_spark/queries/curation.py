@@ -8,12 +8,14 @@ train/holdout split uses md5-prefix hashing (engine-portable, unlike
 rand() or xxhash64).
 
 Scale posture:
-- q74: iterative min-label propagation — each iteration is one
-  bounded equi-join + groupBy on the PAIR GRAPH (near-dup pairs, a
-  vanishing fraction of the corpus), never on the corpus itself.
-  Iterations = graph diameter (near-dup clusters are tiny cliques;
-  ≤ a handful of rounds). localCheckpoint per round truncates the
-  plan so lineage cannot grow superlinearly.
+- q74: iterative min-label propagation with pointer jumping — each
+  iteration is one bounded equi-join + groupBy on the PAIR GRAPH
+  (near-dup pairs, a vanishing fraction of the corpus) plus one
+  self-join on the label table, never on the corpus itself.
+  Iterations ~ log2(graph diameter) thanks to the jump step; near-dup
+  clusters are tiny cliques, so a handful of rounds in practice.
+  localCheckpoint per round truncates the plan so lineage cannot grow
+  superlinearly.
 - q75: one corpus scan for quality + hashing, then joins against the
   (small) dedup survivors and near-dup pair sets; split assignment is
   a map-side digest prefix — deterministic across engines, runs, and
@@ -61,19 +63,32 @@ def q74_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
-def connected_components(pairs: DataFrame, max_rounds: int = 64) -> DataFrame:
-    """Min-label propagation over an undirected pair list
-    (doc_id_a, doc_id_b) → (doc_id, component) for every vertex, where
-    component = the minimum doc_id reachable. Converges in diameter
-    rounds; every round is one equi-join + groupBy on the edge list.
+def connected_components(
+    pairs: DataFrame,
+    max_rounds: int = 64,
+    rounds_out: list[int] | None = None,
+) -> DataFrame:
+    """Min-label propagation with pointer jumping over an undirected
+    pair list (doc_id_a, doc_id_b) → (doc_id, component) for every
+    vertex, where component = the minimum doc_id reachable.
+
+    Each round does (1) a neighbor-min step — one equi-join + groupBy
+    on the edge list — and (2) a pointer-jump step,
+    label(v) ← label(label(v)), one self-join on the label table. The
+    jump roughly doubles how far a label has travelled per round, so
+    convergence is ~⌈log₂ diameter⌉ + 1 rounds, not diameter rounds —
+    the difference between 6 and 10⁶ iterations on a pathological
+    chain, and measured on a 129-vertex chain in tests.
 
     ``max_rounds`` is belt-and-braces only: labels decrease
-    monotonically and are bounded below, so the loop provably reaches
-    a fixed point in <= graph-diameter rounds (64 covers a diameter of
-    2^64 under the halving effect of min-propagation; any real pair
-    graph converges in a handful). It exists so a future edit to the
-    label rule cannot silently loop a cluster forever — exceeding it
-    raises instead of spinning."""
+    monotonically and are bounded below, so the loop provably reaches a
+    fixed point (64 rounds covers any graph whose diameter fits in an
+    int under log-convergence). It exists so a future edit to the label
+    rule cannot silently loop a cluster forever — exceeding it raises
+    instead of spinning.
+
+    ``rounds_out``: optional list; the executed round count is appended
+    (test/observability hook)."""
     edges = (
         pairs.select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
         .unionAll(pairs.select(F.col("doc_id_b").alias("a"), F.col("doc_id_a").alias("b")))
@@ -95,7 +110,7 @@ def connected_components(pairs: DataFrame, max_rounds: int = 64) -> DataFrame:
         .select(F.col("a").alias("doc_id"), "component")
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         nbr_min = (
             edges.join(
                 labels.select(
@@ -106,12 +121,28 @@ def connected_components(pairs: DataFrame, max_rounds: int = 64) -> DataFrame:
             .groupBy("a")
             .agg(F.min("nbr_comp").alias("min_nbr"))
         )
+        stepped = labels.join(
+            nbr_min, labels["doc_id"] == nbr_min["a"], "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("component"), F.coalesce("min_nbr", F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jump: component ← label(component). Every label IS a
+        # vertex id (min over vertex ids, by induction), so the lookup
+        # is a self-join on the label table; the left join + coalesce
+        # is defensive only. This halves the remaining label distance
+        # each round — log(diameter) total rounds.
+        jump = stepped.select(
+            F.col("doc_id").alias("component"), F.col("component").alias("jumped")
+        )
         new_labels = (
-            labels.join(nbr_min, labels["doc_id"] == nbr_min["a"], "left")
+            stepped.join(jump, "component", "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("component"), F.coalesce("min_nbr", F.col("component"))
+                    F.col("component"), F.coalesce("jumped", F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)
@@ -124,6 +155,8 @@ def connected_components(pairs: DataFrame, max_rounds: int = 64) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            if rounds_out is not None:
+                rounds_out.append(rnd + 1)
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds — "
