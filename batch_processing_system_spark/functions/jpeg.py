@@ -1,21 +1,32 @@
-"""Baseline JPEG (ITU-T T.81 sequential DCT, SOF0) pixel decoder —
-pure Python + numpy, no codec library.
+"""JPEG (ITU-T T.81) pixel decoder — pure Python + numpy, no codec
+library: baseline sequential DCT (SOF0) and progressive DCT (SOF2).
 
-Closes the last still-image decode gap of the multimodal family
-(north-star X5): the container ships no Pillow, but baseline JPEG is
+Closes the still-image decode gaps of the multimodal family
+(north-star X5): the container ships no Pillow, but Huffman JPEG is
 buildable from the public spec exactly like round 2's GIF-LZW and
 PNG-unfilter work — segment walk, canonical Huffman entropy decode,
 dequantize + dezigzag, 8x8 inverse DCT as one numpy matrix sandwich,
 chroma upsample, YCbCr→RGB.
 
-Supported: baseline Huffman (SOF0), grayscale and 3-component YCbCr,
-any sampling factors (4:4:4 / 4:2:2 / 4:2:0 / ...), restart markers.
-Progressive (SOF2) and arithmetic coding raise NotImplementedError
-naming the feature — they are a different entropy layout, not a
-bigger table.
+Both frame types share one dataflow: every scan decodes into
+per-component zigzag-ordered coefficient arrays (baseline is simply
+the one-scan case with the full 0..63 band and no successive
+approximation), and rendering happens once at EOI — dequantize,
+de-zigzag, IDCT vectorized across ALL blocks per component (a single
+batched 8x8 matrix sandwich), upsample, color-convert.
 
-Decode cost model for the Spark side: one numpy IDCT per 8x8 block —
-the mapInPandas batch loop stays vectorized per block with no
+Progressive support covers the full T.81 Huffman feature set:
+spectral selection (per-band scans with EOB-run coding), successive
+approximation (DC/AC first and refinement passes, correction bits),
+interleaved DC scans, non-interleaved AC scans with the component's
+own block geometry, restart markers in any scan.
+
+Still out of scope (named, raising): arithmetic coding, lossless and
+hierarchical frames, 12-bit precision — a different entropy layout or
+sample model, not a bigger table.
+
+Decode cost model for the Spark side: one batched numpy IDCT per
+component — the mapInPandas batch loop stays vectorized with no
 per-pixel Python. Executor memory is O(one image).
 """
 
@@ -33,7 +44,7 @@ ZIGZAG = np.array([
 ])
 
 # IDCT basis: spatial = C.T @ coeffs @ C with C[u, x] the orthonormal
-# DCT-II matrix — one 8x8 matrix sandwich per block, all in numpy.
+# DCT-II matrix — one batched matrix sandwich per component, in numpy.
 _C = np.zeros((8, 8))
 for _u in range(8):
     _alpha = (1 / 8) ** 0.5 if _u == 0 else (2 / 8) ** 0.5
@@ -121,18 +132,22 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg_rgb(content: bytes):
-    """Decode a baseline JPEG into (h, w, 3) uint8 RGB, or None when
-    ``content`` is not a JPEG at all. Raises NotImplementedError for
-    progressive/arithmetic variants."""
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG into
+    (h, w, 3) uint8 RGB, or None when ``content`` is not a JPEG at
+    all. Raises NotImplementedError for arithmetic/lossless/
+    hierarchical variants."""
     if not content or content[:2] != b"\xff\xd8":
         return None
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _Huff] = {}
     huff_ac: dict[int, _Huff] = {}
     frame = None
+    geom = None
+    coefs = None
     restart_interval = 0
     pos = 2
-    while pos < len(content):
+    n = len(content)
+    while pos < n - 1:
         if content[pos] != 0xFF:
             pos += 1
             continue
@@ -160,11 +175,11 @@ def decode_jpeg_rgb(content: bytes):
             while i < len(seg):
                 tc, th = seg[i] >> 4, seg[i] & 15
                 counts = list(seg[i + 1 : i + 17])
-                n = sum(counts)
-                table = _Huff(counts, seg[i + 17 : i + 17 + n])
+                nsym = sum(counts)
+                table = _Huff(counts, seg[i + 17 : i + 17 + nsym])
                 (huff_ac if tc else huff_dc)[th] = table
-                i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+                i += 17 + nsym
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG precision supported")
@@ -172,101 +187,239 @@ def decode_jpeg_rgb(content: bytes):
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0) is supported; "
-                f"marker 0xFF{marker:02X} is a progressive/extended frame"
+                "only baseline (SOF0) and progressive (SOF2) Huffman JPEG "
+                f"are supported; marker 0xFF{marker:02X} is an "
+                "arithmetic/lossless/hierarchical frame"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = seg[0]
-            scan = {}
+            scomps = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan[cs] = (tt >> 4, tt & 15)
-            data_pos = pos + 2 + seglen
-            return _decode_scan(
-                content, data_pos, frame, scan, qt, huff_dc, huff_ac, restart_interval
+                scomps.append((cs, tt >> 4, tt & 15))
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if coefs is None:
+                geom = _geometry(frame)
+                coefs = [
+                    np.zeros((g["bh"], g["bw"], 64), dtype=np.int32) for g in geom
+                ]
+            pos = _decode_scan_into(
+                content, pos + 2 + seglen, geom, coefs, scomps,
+                ss, se, ah, al, huff_dc, huff_ac, restart_interval,
             )
+            continue
         pos += 2 + seglen
-    raise ValueError("no SOS segment found")
+    if coefs is None:
+        raise ValueError("no SOS segment found")
+    return _render(frame, geom, coefs, qt)
 
 
-def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
+def _geometry(frame) -> list[dict]:
+    """Per-component block geometry: interleaved (MCU-padded) dims for
+    storage/DC scans, the component's own ceil(size/8) dims for
+    non-interleaved AC scans (T.81 A.2.2 — padded blocks beyond the
+    component's own extent exist only in interleaved order)."""
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    planes = [
-        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
-        for c in comps
-    ]
-    # quant tables arrive zigzag-ordered; coefficients below are stored
-    # in natural order (via ZIGZAG[k]), so de-zigzag each table once
-    qnat = []
+    out = []
     for c in comps:
-        t = np.zeros(64, dtype=np.float64)
-        t[ZIGZAG] = qt[c["tq"]]
-        qnat.append(t)
+        ch = -(-(h * c["v"]) // vmax)
+        cw = -(-(w * c["h"]) // hmax)
+        out.append({
+            "id": c["id"], "h": c["h"], "v": c["v"], "tq": c["tq"],
+            "bh": mcus_y * c["v"], "bw": mcus_x * c["h"],
+            "nb_h": -(-ch // 8), "nb_w": -(-cw // 8),
+            "mcus_x": mcus_x, "mcus_y": mcus_y,
+        })
+    return out
+
+
+def _decode_scan_into(
+    data, pos, geom, coefs, scomps, ss, se, ah, al,
+    huff_dc, huff_ac, restart_interval,
+):
+    """Decode one scan's entropy data into the coefficient arrays
+    (zigzag index order) and return the offset of the next marker.
+
+    Handles every T.81 Huffman scan shape through one block routine:
+    baseline (full band, Ah=Al=0), progressive DC first/refine,
+    progressive AC first/refine with EOB-run coding."""
+    comp_idx = {g["id"]: i for i, g in enumerate(geom)}
     reader = _BitReader(data, pos)
-    pred = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                # skip to the RSTn marker (may already be flagged by
-                # the reader mid-fill), realign, reset DC predictors
-                try:
-                    while True:
-                        reader.read_bit()
-                except (_RestartMarker, EOFError):
-                    pass
-                if not (
-                    reader.data[reader.pos] == 0xFF
-                    and 0xD0 <= reader.data[reader.pos + 1] <= 0xD7
-                ):
-                    raise ValueError("expected restart marker")
-                reader.align_after_restart()
-                pred = [0] * len(comps)
-            mcu_count += 1
-            for ci, comp in enumerate(comps):
-                dc_t = huff_dc[scan[comp["id"]][0]]
-                ac_t = huff_ac[scan[comp["id"]][1]]
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        coeffs = np.zeros(64, dtype=np.float64)
-                        t = reader.decode(dc_t)
-                        pred[ci] += _extend(reader.read_bits(t), t)
-                        coeffs[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode(ac_t)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            coeffs[ZIGZAG[k]] = _extend(reader.read_bits(s), s)
-                            k += 1
-                        block = (coeffs * qnat[ci]).reshape(8, 8)
-                        spatial = _C.T @ block @ _C + 128.0
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
-    # upsample every plane to full MCU-padded resolution, crop, convert
+    preds = [0] * len(geom)
+    eobrun = 0
+
+    def decode_block(ci, by, bx, dc_tbl, ac_tbl):
+        nonlocal eobrun
+        blk = coefs[ci][by, bx]
+        k = ss
+        if ss == 0:
+            if ah == 0:
+                t = reader.decode(dc_tbl)
+                preds[ci] += _extend(reader.read_bits(t), t)
+                blk[0] = preds[ci] << al
+            else:  # DC refinement: one bit per block
+                if reader.read_bit():
+                    blk[0] |= 1 << al
+            if se == 0:
+                return
+            k = 1
+        if ah == 0:
+            # AC first pass (baseline AC is this with al=0, eobrun
+            # degenerating to per-block EOB since r=0 => eobrun=0)
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            while k <= se:
+                rs = reader.decode(ac_tbl)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("AC coefficient ran past the band")
+                blk[k] = _extend(reader.read_bits(s), s) << al
+                k += 1
+            return
+        # AC refinement pass (T.81 G.1.2.3 / the libjpeg correction-bit
+        # algorithm): newly-nonzero coefficients arrive as (run, 1)
+        # symbols + sign; already-nonzero coefficients consume one
+        # correction bit each as the run skips over them.
+        p1, m1 = 1 << al, -(1 << al)
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.decode(ac_tbl)
+                r, s = rs >> 4, rs & 15
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break  # remaining nonzeros refined below
+                    # r == 15: ZRL — skip 16 zero-history positions
+                else:
+                    newval = p1 if reader.read_bit() else m1
+                while k <= se:
+                    v = int(blk[k])
+                    if v != 0:
+                        if reader.read_bit() and (v & p1) == 0:
+                            blk[k] = v + (p1 if v >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if k <= se and newval:
+                    blk[k] = newval
+                k += 1
+        if eobrun > 0:
+            # inside an EOB run: every remaining nonzero coefficient in
+            # the band still gets its correction bit
+            while k <= se:
+                v = int(blk[k])
+                if v != 0:
+                    if reader.read_bit() and (v & p1) == 0:
+                        blk[k] = v + (p1 if v >= 0 else m1)
+                k += 1
+            eobrun -= 1
+
+    def maybe_restart(mcu_count):
+        nonlocal eobrun
+        if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+            # skip padding to the RSTn marker (may already be flagged
+            # mid-fill), realign, reset DC predictors and the EOB run
+            try:
+                while True:
+                    reader.read_bit()
+            except (_RestartMarker, EOFError):
+                pass
+            if not (
+                reader.data[reader.pos] == 0xFF
+                and 0xD0 <= reader.data[reader.pos + 1] <= 0xD7
+            ):
+                raise ValueError("expected restart marker")
+            reader.align_after_restart()
+            for i in range(len(preds)):
+                preds[i] = 0
+            eobrun = 0
+
+    if len(scomps) > 1:  # interleaved — MCU order over all components
+        mcus_x = geom[0]["mcus_x"]
+        mcus_y = geom[0]["mcus_y"]
+        mcu_count = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                maybe_restart(mcu_count)
+                mcu_count += 1
+                for cs, td, ta in scomps:
+                    ci = comp_idx[cs]
+                    g = geom[ci]
+                    for by in range(g["v"]):
+                        for bx in range(g["h"]):
+                            decode_block(
+                                ci, my * g["v"] + by, mx * g["h"] + bx,
+                                huff_dc.get(td), huff_ac.get(ta),
+                            )
+    else:  # non-interleaved — the component's own block raster
+        cs, td, ta = scomps[0]
+        ci = comp_idx[cs]
+        g = geom[ci]
+        blk_count = 0
+        for by in range(g["nb_h"]):
+            for bx in range(g["nb_w"]):
+                maybe_restart(blk_count)
+                blk_count += 1
+                decode_block(ci, by, bx, huff_dc.get(td), huff_ac.get(ta))
+
+    # advance to the next marker (skip any padding, stuffing, RSTn)
+    p = reader.pos
+    while p < len(data) - 1:
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            break
+        p += 1
+    return p
+
+
+def _render(frame, geom, coefs, qt):
+    """Dequantize + de-zigzag + IDCT every component in one batched
+    numpy pass, then upsample, crop and color-convert."""
+    h, w = frame["h"], frame["w"]
+    hmax = max(g["h"] for g in geom)
+    vmax = max(g["v"] for g in geom)
     full = []
-    for ci, comp in enumerate(comps):
-        p = planes[ci]
-        p = np.repeat(np.repeat(p, vmax // comp["v"], axis=0), hmax // comp["h"], axis=1)
-        full.append(p[:h, :w])
+    for ci, g in enumerate(geom):
+        qzz = qt[g["tq"]].astype(np.float64)  # zigzag-ordered table
+        zz = coefs[ci].astype(np.float64) * qzz  # (BY, BX, 64)
+        nat = np.zeros_like(zz)
+        nat[..., ZIGZAG] = zz  # scatter zigzag -> natural order
+        blocks = nat.reshape(g["bh"], g["bw"], 8, 8)
+        spatial = _C.T @ blocks @ _C + 128.0  # batched matrix sandwich
+        plane = spatial.transpose(0, 2, 1, 3).reshape(g["bh"] * 8, g["bw"] * 8)
+        plane = np.repeat(
+            np.repeat(plane, vmax // g["v"], axis=0), hmax // g["h"], axis=1
+        )
+        full.append(plane[:h, :w])
     if len(full) == 1:
         y = np.clip(full[0], 0, 255)
         return np.dstack([y, y, y]).astype(np.uint8)

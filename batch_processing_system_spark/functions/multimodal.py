@@ -10,19 +10,20 @@ What's real here vs stubbed (this container has no image/audio libs):
   pure-stdlib+numpy pixel decode + nearest-neighbor resize for
   uncompressed 24/32-bit BMP (BI_RGB), for PNG (stdlib zlib inflate +
   all five scanline filters, color types gray/RGB/palette/gray-alpha/
-  RGBA at bit depth 8), AND for baseline JPEG (functions/jpeg.py —
-  canonical Huffman entropy decode, dequantize, numpy IDCT, chroma
-  upsample, YCbCr→RGB; grayscale + color at any sampling, restart
-  markers), integer-PCM WAV decode with signal features
-  (RMS/peak/zero-crossings over the mono mix), and animated-GIF frame
-  sampling with a pure-Python LZW decoder + palette mapping. Every
-  still-image format and every modality (image pixels, audio samples,
-  motion frames) has a real end-to-end decode path.
-- STUBBED: progressive JPEG (a different entropy layout), compressed
-  audio (needs a codec lib), and true video containers (mp4/webm need
-  PyAV/ffmpeg) raise NotImplementedError naming the dependency; the
-  call signatures and output schemas are final so swapping the real
-  library in changes no plan.
+  RGBA at bit depth 8), AND for JPEG (functions/jpeg.py — canonical
+  Huffman entropy decode, dequantize, numpy IDCT, chroma upsample,
+  YCbCr→RGB; baseline SOF0 and progressive SOF2 with spectral
+  selection + successive approximation; grayscale + color at any
+  sampling, restart markers), integer-PCM WAV decode with signal
+  features (RMS/peak/zero-crossings over the mono mix), and
+  animated-GIF frame sampling with a pure-Python LZW decoder + palette
+  mapping. Every still-image format and every modality (image pixels,
+  audio samples, motion frames) has a real end-to-end decode path.
+- STUBBED: arithmetic-coded/lossless JPEG, compressed audio (needs a
+  codec lib), and true video containers (mp4/webm need PyAV/ffmpeg)
+  raise NotImplementedError naming the dependency; the call signatures
+  and output schemas are final so swapping the real library in changes
+  no plan.
 """
 
 from __future__ import annotations
@@ -249,8 +250,8 @@ def decode_and_resize(binary_df: DataFrame, width: int, height: int) -> DataFram
     - pure-stdlib+numpy decoders — always available — for uncompressed
       24/32-bit BMP (BI_RGB), 8-bit non-interlaced PNG (zlib inflate +
       scanline unfilter, gray/RGB/palette/alpha color types), and
-      baseline JPEG (functions/jpeg.py Huffman+IDCT), all with
-      nearest-neighbor resize.
+      baseline + progressive JPEG (functions/jpeg.py Huffman+IDCT),
+      all with nearest-neighbor resize.
     A file neither path can decode raises NotImplementedError naming
     the missing dependency (surfaced through the task failure).
     """
@@ -280,7 +281,7 @@ def decode_and_resize(binary_df: DataFrame, width: int, height: int) -> DataFram
                 if rgb is None:
                     raise NotImplementedError(
                         f"decode_and_resize: {path!r} is not a BMP, PNG, "
-                        "or baseline JPEG, and Pillow (PIL) is not "
+                        "or Huffman JPEG, and Pillow (PIL) is not "
                         "installed; install Pillow for other formats"
                     )
                 rows.append(

@@ -127,6 +127,40 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q52_grouping_sets",
+    """
+    SELECT event_type,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           COUNT(*) AS cnt,
+           CAST(GROUPING(event_type) AS BIGINT) AS g_t,
+           CAST(GROUPING(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+                AS BIGINT) AS g_d
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (day))
+    """,
+    doc="A5 explicit GROUPING SETS — two DISJOINT aggregations "
+    "(per-type totals and per-day totals) in ONE scan + one shuffle, "
+    "the form ROLLUP/CUBE (q20/q21) cannot express. At 100 TB this "
+    "halves the scan cost vs two separate groupBys and the expand "
+    "operator feeds both groupings from the same exchange; GROUPING() "
+    "flags disambiguate the interleaved output rows (fills the q52 "
+    "catalog gap — numbering is now contiguous q01..q91).",
+)
+def q52_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    with_day = events.withColumn(
+        "day", F.to_date(F.date_trunc("day", F.col("ts")))
+    )
+    return with_day.groupingSets(
+        [["event_type"], ["day"]], "event_type", "day"
+    ).agg(
+        bcount("cnt"),
+        F.grouping("event_type").cast("bigint").alias("g_t"),
+        F.grouping("day").cast("bigint").alias("g_d"),
+    )
+
+
 def q22_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 collect_list as a true array column — the form user code
     consumes. Not driver-registered (the harness value-hasher cannot

@@ -242,6 +242,57 @@ def q87_semantic_dedup(
     )
 
 
+#: PII patterns for the scrub pass. Kept to constructs with identical
+#: semantics in Java regex (Spark) and RE2 (DuckDB): literal classes,
+#: bounded repetition, \\b word boundaries — no lookaround, no
+#: backreferences (RE2 has neither).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+
+_PII_ORACLE = f"""
+    WITH pass1 AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_emails,
+               regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(t1, '{PII_PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+           CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t1, '{PII_PHONE_RE}')) AS BIGINT)
+               AS n_phones
+    FROM pass1
+"""
+
+
+@register(
+    "q90_pii_scrub",
+    _PII_ORACLE,
+    doc="X4/X6 — PII redaction, the curation step every pretraining "
+    "pipeline runs before tokenization: emails and phone-shaped "
+    "numbers are replaced with typed placeholder tokens and counted "
+    "per document. Pure map-side regexp_replace/extract_all — no "
+    "shuffle, no UDF, corpus-scan-bound at 100 TB and trivially "
+    "parallel. Patterns restricted to the Java-regex/RE2 common "
+    "subset (no lookaround/backrefs) so both engines transform "
+    "identically; phone before/after email ordering is fixed by "
+    "scrubbing emails first on the same derived column.",
+)
+def q90_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t1 = F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(t1, PII_PHONE_RE, "<PHONE>").alias("scrubbed"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t1, F.lit(PII_PHONE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+    )
+
+
 _CURATION_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, lang,

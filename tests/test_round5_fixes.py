@@ -188,6 +188,63 @@ class TestPointerJumping:
         assert got == want
 
 
+class TestPiiScrub:
+    """q90: email/phone redaction with typed placeholders, counted per
+    doc; oracle parity verified on PLANTED PII (the synthetic corpus
+    has none, so the driver check alone would be vacuous)."""
+
+    ROWS = [
+        (1, "contact alice.smith+dev@example.co.uk or call 555-123-4567 now"),
+        (2, "two mails a@b.io c@d.org one phone 123.456.7890"),
+        (3, "clean text with no identifiers at all"),
+        (4, "edge 999-999-9999x not a phone but 111-222-3333 is"),
+    ]
+
+    def _sf_dir(self, spark, tmp_path):
+        spark.createDataFrame(
+            self.ROWS, "doc_id bigint, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        return str(tmp_path)
+
+    def test_redaction_semantics(self, spark, tmp_path):
+        from batch_processing_system_spark.queries.curation import q90_pii_scrub
+
+        out = {
+            r["doc_id"]: r for r in q90_pii_scrub(spark, self._sf_dir(spark, tmp_path)).collect()
+        }
+        assert out[1]["scrubbed"] == "contact <EMAIL> or call <PHONE> now"
+        assert (out[1]["n_emails"], out[1]["n_phones"]) == (1, 1)
+        assert out[2]["scrubbed"] == "two mails <EMAIL> <EMAIL> one phone <PHONE>"
+        assert (out[2]["n_emails"], out[2]["n_phones"]) == (2, 1)
+        assert out[3]["scrubbed"] == self.ROWS[2][1]
+        assert (out[3]["n_emails"], out[3]["n_phones"]) == (0, 0)
+        # \b stops 999-999-9999x from matching; 111-222-3333 does
+        assert out[4]["scrubbed"] == "edge 999-999-9999x not a phone but <PHONE> is"
+        assert out[4]["n_phones"] == 1
+
+    def test_oracle_parity_on_planted_pii(self, spark, tmp_path):
+        import duckdb
+
+        from batch_processing_system_spark.queries import REGISTRY, _ensure_loaded
+        from batch_processing_system_spark.queries.curation import q90_pii_scrub
+
+        _ensure_loaded()
+        sf_dir = self._sf_dir(spark, tmp_path)
+        got = sorted(map(tuple, q90_pii_scrub(spark, sf_dir).collect()))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+        )
+        want = sorted(
+            tuple(r) for r in con.execute(REGISTRY["q90_pii_scrub"].oracle).fetchall()
+        )
+        assert got == want
+        assert any(r[2] > 0 for r in got)  # the fixture actually redacts
+
+
 class TestFirstLineLookupPlan:
     """VERDICT r4 item 6: the validation first-line lookup must plan a
     TakeOrderedAndProject, not a global single-partition Window sort."""
