@@ -597,3 +597,73 @@ def q86_ann_ivf(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+_SQ8_ORACLE = """
+    WITH dims AS (
+      SELECT i,
+             MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+             MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+      FROM embeddings,
+           (SELECT unnest(range(1,
+               (SELECT MAX(len(embedding)) FROM embeddings) + 1)) AS i) ix
+      GROUP BY i
+    ),
+    stats AS (
+      SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dims
+    )
+    SELECT vec_id,
+           array_to_string(list_transform(range(1, len(embedding)+1),
+             i -> CAST(CASE WHEN mxs[i] = mns[i] THEN 0
+                       ELSE round((CAST(embedding[i] AS DOUBLE) - mns[i])
+                                  * 255.0 / (mxs[i] - mns[i]))
+                       END AS BIGINT)), ',') AS codes
+    FROM embeddings, stats
+    """
+
+
+@register(
+    "q91_embedding_sq8",
+    _SQ8_ORACLE,
+    doc="X3c embedding compression — int8 scalar quantization (the "
+    "FAISS/vector-DB SQ8 storage path): per-dimension min/max over the "
+    "corpus, then each float maps to round((x-mn)*255/(mx-mn)). One "
+    "stats pass (posexplode + groupBy(dim) — the stats table is "
+    "DIMENSION-sized, 64 rows, a bounded collect exactly like IVF's "
+    "centroids) and one map-side quantize pass with the stats inlined "
+    "as array literals — at 100 TB that is scan + map, no per-row "
+    "join. 4x storage cut and int8 SIMD distance kernels downstream; "
+    "codes surface as a CSV string (D8: the harness hasher cannot "
+    "hash array cells, same trade as q22). Tier-1: both engines round "
+    "positive halves away from zero; the scaled values' distance to "
+    "the .5 boundary is measured in tests (mirrors q54/q89 margins). "
+    "Constant dimensions (mx == mn) code to 0 on both engines.",
+)
+def q91_embedding_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = (
+        emb.select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v")
+        )
+        .groupBy("i")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .orderBy("i")
+        .collect()  # dimension-sized (64 rows) — bounded by construction
+    )
+    mns = F.array(*[F.lit(float(r["mn"])) for r in stats])
+    mxs = F.array(*[F.lit(float(r["mx"])) for r in stats])
+    arr = F.col("embedding").cast("array<double>")
+
+    def code(i):
+        x, mn, mx = F.element_at(arr, i), F.element_at(mns, i), F.element_at(mxs, i)
+        return F.when(mx == mn, F.lit(0).cast("bigint")).otherwise(
+            F.round((x - mn) * 255.0 / (mx - mn)).cast("bigint")
+        )
+
+    codes = F.transform(F.sequence(F.lit(1), F.size(arr)), code)
+    return emb.select(
+        "vec_id",
+        F.concat_ws(",", F.transform(codes, lambda c: c.cast("string"))).alias(
+            "codes"
+        ),
+    )
