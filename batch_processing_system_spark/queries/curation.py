@@ -242,6 +242,104 @@ def q87_semantic_dedup(
     )
 
 
+_BEST_OF_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE
+    pairs AS (SELECT doc_id_a, doc_id_b FROM ({JACCARD_NEARDUP_SQL}) jp),
+    edges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+              UNION SELECT doc_id_b, doc_id_a FROM pairs),
+    reach(src, dst) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+        FROM reach GROUP BY src
+    ),
+    toks AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    lab AS (
+        SELECT t.doc_id, COALESCE(c.component, t.doc_id) AS component,
+               t.n_tokens
+        FROM toks t LEFT JOIN comp c ON t.doc_id = c.doc_id
+    ),
+    reps AS (
+        SELECT component, doc_id AS rep_id FROM (
+            SELECT component, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY component
+                                      ORDER BY n_tokens DESC, doc_id ASC) AS rn
+            FROM lab) x
+        WHERE rn = 1
+    )
+    SELECT l.doc_id, l.component, r.rep_id, l.n_tokens,
+           l.doc_id = r.rep_id AS kept
+    FROM lab l JOIN reps r USING (component)
+"""
+
+
+@register(
+    "q92_best_of_cluster",
+    _BEST_OF_CLUSTER_ORACLE,
+    doc="X2b composed — quality-ranked dedup survivors: real pipelines "
+    "keep the BEST document per near-dup cluster, not the first. "
+    "Components over the exact Jaccard pair graph (q74), then one "
+    "representative per cluster = max token count, doc_id tiebreak "
+    "(all-integer ranking — no float in the hashed output). Scale "
+    "shape: the component map and the representative table are "
+    "PAIR-GRAPH-sized, so the corpus-wide labeling is one broadcast "
+    "join; the rep choice is a max_by on the clustered subset only — "
+    "the corpus itself never shuffles on component. Oracle: "
+    "recursive-CTE closure + ROW_NUMBER window.",
+)
+def q92_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks_arr = F.filter(F.split("text", " "), lambda w: w != "")
+    toks = docs.select(
+        "doc_id", F.size(toks_arr).cast("bigint").alias("n_tokens")
+    )
+    pairs = q46_neardup_jaccard(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    comp = connected_components(pairs).select(
+        F.col("doc_id").alias("cdoc"), "component"
+    )
+    lab = toks.join(
+        F.broadcast(comp), toks["doc_id"] == comp["cdoc"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("component"),
+        "n_tokens",
+    )
+    # representative per component: highest n_tokens, min doc_id on
+    # ties — max_by over struct(n_tokens, -doc_id), computed on the
+    # CLUSTERED subset only (singleton components are their own rep by
+    # construction, no shuffle for them)
+    clustered = lab.join(
+        F.broadcast(comp.select("component").distinct()), "component"
+    )
+    reps = clustered.groupBy("component").agg(
+        F.max(
+            F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("neg_id"))
+        ).alias("best")
+    ).select(
+        "component", (-F.col("best.neg_id")).alias("rep_id")
+    )
+    return (
+        lab.join(F.broadcast(reps), "component", "left")
+        .select(
+            "doc_id",
+            "component",
+            F.coalesce("rep_id", F.col("doc_id")).alias("rep_id"),
+            "n_tokens",
+            (F.coalesce("rep_id", F.col("doc_id")) == F.col("doc_id")).alias(
+                "kept"
+            ),
+        )
+    )
+
+
 #: PII patterns for the scrub pass. Kept to constructs with identical
 #: semantics in Java regex (Spark) and RE2 (DuckDB): literal classes,
 #: bounded repetition, \\b word boundaries — no lookaround, no

@@ -245,6 +245,33 @@ class TestPiiScrub:
         assert any(r[2] > 0 for r in got)  # the fixture actually redacts
 
 
+class TestBestOfCluster:
+    """q92: the representative must be the highest-token-count member,
+    NOT the min id (the fixture makes those differ)."""
+
+    def test_longest_doc_wins_cluster(self, spark, tmp_path):
+        from batch_processing_system_spark.queries.curation import (
+            q92_best_of_cluster,
+        )
+
+        base = " ".join(f"c{j}" for j in range(30))
+        rows = [
+            (1, base),                     # near-dup cluster {1,2}:
+            (2, base + " extra tail"),     #   doc 2 is longer → rep
+            (7, " ".join(f"u{j}" for j in range(12))),  # singleton
+        ]
+        spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        out = {
+            r["doc_id"]: (r["component"], r["rep_id"], r["kept"])
+            for r in q92_best_of_cluster(spark, str(tmp_path)).collect()
+        }
+        assert out[1] == (1, 2, False)  # min-id member, but NOT the rep
+        assert out[2] == (1, 2, True)   # longer doc keeps the cluster
+        assert out[7] == (7, 7, True)   # singleton is its own rep
+
+
 class TestEmbeddingSq8:
     """q91: int8 scalar quantization of the embedding column."""
 
