@@ -349,6 +349,38 @@ def q73_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q93_stratified_sample",
+    """
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rn
+        FROM documents) x
+    WHERE rn <= 20
+    """,
+    doc="Deterministic stratified sampling with EXACT per-stratum "
+    "quotas — eval-set construction's shape (q73/q81 are rate-based; "
+    "building a benchmark needs exactly k per language): rank every "
+    "doc inside its stratum by md5(doc_id) — a seedable, "
+    "engine-portable stand-in for random order — and keep the top 20. "
+    "One shuffle on the stratum key; each partition sorts only its "
+    "stratum, and at 100 TB the window never sees a SinglePartition "
+    "because lang is the partition key. doc_id tiebreak makes the "
+    "rank total even under digest collisions (D3).",
+)
+def q93_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rank = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    w = Window.partitionBy("lang").orderBy(rank, F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
     "q63_grouped_map",
     """
     SELECT event_id, user_id,
