@@ -648,7 +648,8 @@ def q91_embedding_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i")
         .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
         .orderBy("i")
-        .collect()  # dimension-sized (64 rows) — bounded by construction
+        # bounded-collect: dimension-sized (64 rows), like IVF centroids
+        .collect()
     )
     mns = F.array(*[F.lit(float(r["mn"])) for r in stats])
     mxs = F.array(*[F.lit(float(r["mx"])) for r in stats])
