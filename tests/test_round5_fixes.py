@@ -26,12 +26,17 @@ TS_QUERIES = ["q14", "q32", "q36", "q39", "q40"]
 class TestTimestampFlavorProof:
     @pytest.fixture(scope="class")
     def flavor_dirs(self, spark, tmp_path_factory):
-        """The sf0.001 events table rewritten in both parquet timestamp
-        flavors: µs adjusted-to-UTC (annotated) and µs NTZ
-        (un-annotated — the driver's current output)."""
+        """The sf0.001 events table rewritten in all three parquet
+        timestamp flavors the driver has shipped: µs adjusted-to-UTC
+        (annotated), µs NTZ (un-annotated — the current output), and
+        ns (the original, which load_table reads via nanosAsLong)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
         base = tmp_path_factory.mktemp("tsflavors")
         events = load_table(spark, SF_SMALL, "events")
-        utc_dir, ntz_dir = base / "utc", base / "ntz"
+        utc_dir, ntz_dir, ns_dir = base / "utc", base / "ntz", base / "ns"
         spark.conf.set(
             "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
         )
@@ -39,15 +44,25 @@ class TestTimestampFlavorProof:
         events.withColumn("ts", F.col("ts").cast("timestamp_ntz")).write.mode(
             "overwrite"
         ).parquet(str(ntz_dir / "events.parquet"))
-        return str(utc_dir), str(ntz_dir)
+        # ns flavor: written directly with pyarrow (Spark cannot emit
+        # TIMESTAMP(NANOS) parquet)
+        tbl = pq.read_table(str(SF_SMALL) + "/events.parquet")
+        i = tbl.schema.get_field_index("ts")
+        ns_col = pc.cast(tbl.column("ts"), pa.timestamp("ns"))
+        tbl = tbl.set_column(i, pa.field("ts", pa.timestamp("ns")), ns_col)
+        ns_dir.mkdir()
+        pq.write_table(
+            tbl, str(ns_dir / "events.parquet"), store_schema=False
+        )
+        return str(utc_dir), str(ntz_dir), str(ns_dir)
 
     def test_raw_flavors_differ_but_loader_normalizes(self, spark, flavor_dirs):
-        utc_dir, ntz_dir = flavor_dirs
-        # precondition: the two fixtures genuinely exercise both parquet
+        utc_dir, ntz_dir, ns_dir = flavor_dirs
+        # precondition: the fixtures genuinely exercise distinct parquet
         # flavors (otherwise this whole class proves nothing)
         raw = {
             d: dict(spark.read.parquet(d + "/events.parquet").dtypes)["ts"]
-            for d in flavor_dirs
+            for d in (utc_dir, ntz_dir)
         }
         assert raw[utc_dir] == "timestamp"
         assert raw[ntz_dir] == "timestamp_ntz"
@@ -59,12 +74,13 @@ class TestTimestampFlavorProof:
         from batch_processing_system_spark.queries import REGISTRY, _ensure_loaded
 
         _ensure_loaded()
-        utc_dir, ntz_dir = flavor_dirs
+        utc_dir, ntz_dir, ns_dir = flavor_dirs
         fn = REGISTRY[qname].fn
         got_utc = sorted(map(tuple, fn(spark, utc_dir).collect()))
         got_ntz = sorted(map(tuple, fn(spark, ntz_dir).collect()))
+        got_ns = sorted(map(tuple, fn(spark, ns_dir).collect()))
         assert len(got_utc) > 0
-        assert got_utc == got_ntz
+        assert got_utc == got_ntz == got_ns
 
     def test_epoch_us_accepts_both_timestamp_types(self, spark):
         from batch_processing_system_spark.engine.det import epoch_us
