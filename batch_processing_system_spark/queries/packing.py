@@ -325,6 +325,64 @@ def q80_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q94_gram_novelty",
+    """
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+                            w[i+4], w[i+5], w[i+6], w[i+7]) AS gram
+      FROM ws, UNNEST(generate_series(1, len(w)-7)) AS t(i)
+      WHERE len(w) >= 8
+    ),
+    dfreq AS (SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram),
+    per AS (
+      SELECT g.doc_id, COUNT(*) AS n_grams,
+             SUM(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS n_novel
+      FROM grams g JOIN dfreq USING (gram)
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_novel AS BIGINT) AS n_novel,
+           ROUND(CAST(n_novel AS DOUBLE) / n_grams, 4) AS novelty
+    FROM per
+    """,
+    doc="X4 n-gram novelty — per document, the fraction of its "
+    "distinct 8-grams that appear NOWHERE else in the corpus: the "
+    "corpus-level originality signal that pairwise near-dup misses "
+    "(a doc stitched from many sources is near-dup to none of them "
+    "but has near-zero novelty). Same inverted-index shape as the "
+    "contamination audit (q78): one explode to distinct grams, one "
+    "gram-keyed df aggregation, one join back — candidates only from "
+    "shared grams, never all-pairs. novelty is an exact int ratio "
+    "rounded at 4dp (both engines divide the same two BIGINTs, so "
+    "the double is bit-identical before ROUND). Docs under 8 words "
+    "have no gram and drop out, matching the oracle's length gate.",
+)
+def q94_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = distinct_word_ngrams(docs, 8)
+    dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    per = (
+        grams.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum((F.col("df") == 1).cast("long")).cast("bigint").alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_grams"), 4
+        ).alias("novelty"),
+    )
+
+
 MIX_SEED = "mix-seed-42:"
 
 

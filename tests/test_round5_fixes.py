@@ -261,6 +261,36 @@ class TestPiiScrub:
         assert any(r[2] > 0 for r in got)  # the fixture actually redacts
 
 
+class TestGramNovelty:
+    """q94: corpus-level originality — copies score 0, unique docs 1,
+    a half-copied doc lands in between."""
+
+    def test_planted_novelty_spectrum(self, spark, tmp_path):
+        from batch_processing_system_spark.queries.packing import q94_gram_novelty
+
+        shared = " ".join(f"s{j}" for j in range(8))  # exactly one 8-gram
+        uniq1 = " ".join(f"a{j}" for j in range(8))
+        uniq3 = " ".join(f"c{j}" for j in range(8))
+        rows = [
+            (1, shared),            # its only gram also in doc 2 → 0.0
+            (2, shared),            # 0.0
+            (3, uniq3),             # fully original → 1.0
+            (4, uniq1 + " " + shared),  # mixed: some grams unique,
+                                        # the shared one not
+            (5, "too short"),       # < 8 words → no row
+        ]
+        spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        out = {
+            r["doc_id"]: r for r in q94_gram_novelty(spark, str(tmp_path)).collect()
+        }
+        assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
+        assert out[3]["novelty"] == 1.0
+        assert 0.0 < out[4]["novelty"] < 1.0
+        assert 5 not in out
+
+
 class TestBestOfCluster:
     """q92: the representative must be the highest-token-count member,
     NOT the min id (the fixture makes those differ)."""
