@@ -17,13 +17,16 @@ What's real here vs stubbed (this container has no image/audio libs):
   sampling, restart markers), integer-PCM WAV decode with signal
   features (RMS/peak/zero-crossings over the mono mix), and
   animated-GIF frame sampling with a pure-Python LZW decoder + palette
-  mapping. Every still-image format and every modality (image pixels,
-  audio samples, motion frames) has a real end-to-end decode path.
-- STUBBED: arithmetic-coded/lossless JPEG, compressed audio (needs a
-  codec lib), and true video containers (mp4/webm need PyAV/ffmpeg)
-  raise NotImplementedError naming the dependency; the call signatures
-  and output schemas are final so swapping the real library in changes
-  no plan.
+  mapping, and IMA/DVI ADPCM — the classic 4:1 COMPRESSED-audio WAV —
+  decoded from the public spec (step/index tables, per-block headers).
+  Every still-image format and every modality (image pixels, audio
+  samples incl. one compressed codec, motion frames) has a real
+  end-to-end decode path.
+- STUBBED: arithmetic-coded/lossless JPEG, perceptual audio codecs
+  (mp3/aac/ogg need a codec lib), and true video containers (mp4/webm
+  need PyAV/ffmpeg) raise NotImplementedError naming the dependency;
+  the call signatures and output schemas are final so swapping the
+  real library in changes no plan.
 """
 
 from __future__ import annotations
@@ -294,10 +297,70 @@ def decode_and_resize(binary_df: DataFrame, width: int, height: int) -> DataFram
     )
 
 
+# IMA/DVI ADPCM constants (public spec: IMA Digital Audio Focus and
+# Technology Working Groups, 1992; also RFC 3551 §4.5.1 shape)
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+)
+
+
+def _ima_adpcm_decode(data: bytes, channels: int, block_align: int):
+    """Decode an IMA ADPCM WAV data chunk (format tag 0x11) to int16
+    samples, interleaved by channel — pure Python from the public
+    spec: per-block per-channel 4-byte headers (predictor int16, step
+    index, reserved), then 4-byte words of eight 4-bit nibbles per
+    channel, low nibble first, words interleaved across channels."""
+    import numpy as np
+
+    out = [[] for _ in range(channels)]
+    for bstart in range(0, len(data) - len(data) % block_align, block_align):
+        block = data[bstart : bstart + block_align]
+        preds, idxs = [], []
+        for c in range(channels):
+            pred, idx = struct.unpack("<hB", block[4 * c : 4 * c + 3])
+            preds.append(pred)
+            idxs.append(min(88, max(0, idx)))
+            out[c].append(pred)  # the header predictor IS sample 0
+        pos = 4 * channels
+        while pos + 4 * channels <= len(block):
+            for c in range(channels):
+                word = block[pos + 4 * c : pos + 4 * c + 4]
+                for byte in word:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        step = _IMA_STEP_TABLE[idxs[c]]
+                        diff = step >> 3
+                        if nib & 1:
+                            diff += step >> 2
+                        if nib & 2:
+                            diff += step >> 1
+                        if nib & 4:
+                            diff += step
+                        if nib & 8:
+                            preds[c] -= diff
+                        else:
+                            preds[c] += diff
+                        preds[c] = max(-32768, min(32767, preds[c]))
+                        idxs[c] = max(0, min(88, idxs[c] + _IMA_INDEX_TABLE[nib & 7]))
+                        out[c].append(preds[c])
+            pos += 4 * channels
+    n = min(len(ch_s) for ch_s in out)
+    return np.array([ch_s[:n] for ch_s in out], dtype=np.int16).T.reshape(-1)
+
+
 def _wav_pcm(content: bytes):
-    """Walk RIFF chunks of a PCM WAV and return (sample_rate, channels,
+    """Walk RIFF chunks of a WAV and return (sample_rate, channels,
     bits, samples ndarray normalized to [-1, 1] mono) — pure
-    struct+numpy. None for anything that isn't integer-PCM WAV."""
+    struct+numpy. Integer PCM (8/16-bit) is read directly; IMA/DVI
+    ADPCM (format tag 0x11 — the classic 4:1 compressed-audio WAV) is
+    decoded by _ima_adpcm_decode. None for anything else."""
     import numpy as np
 
     if not content or len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
@@ -314,15 +377,20 @@ def _wav_pcm(content: bytes):
         pos += 8 + size + (size & 1)  # chunks pad to even offsets
     if fmt is None or data is None:
         return None
-    audio_fmt, channels, sample_rate, _, _, bits = fmt
-    if audio_fmt != 1 or channels < 1 or bits not in (8, 16):
+    audio_fmt, channels, sample_rate, _, block_align, bits = fmt
+    if channels < 1:
         return None
-    if bits == 16:
+    if audio_fmt == 0x11 and bits == 4 and block_align >= 4 * channels:
+        raw16 = _ima_adpcm_decode(data, channels, block_align)
+        x = raw16.astype(np.float64) / 32768.0
+    elif audio_fmt == 1 and bits == 16:
         raw = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
         x = raw.astype(np.float64) / 32768.0
-    else:  # 8-bit PCM is unsigned
+    elif audio_fmt == 1 and bits == 8:  # 8-bit PCM is unsigned
         raw = np.frombuffer(data, dtype=np.uint8)
         x = (raw.astype(np.float64) - 128.0) / 128.0
+    else:
+        return None
     n = (len(x) // channels) * channels
     mono = x[:n].reshape(-1, channels).mean(axis=1)
     return sample_rate, channels, bits, mono
@@ -336,12 +404,13 @@ AUDIO_FEATURES_SCHEMA = (
 
 
 def extract_audio_features(binary_df: DataFrame) -> DataFrame:
-    """REAL audio decode (no stub): integer-PCM WAV → per-file signal
-    features via one Arrow crossing per batch. Non-PCM/compressed audio
-    raises NotImplementedError naming the codec gap. The mono mix, RMS,
-    peak and zero-crossing count are the standard cheap speech/music
-    screens of an audio training-data pipeline; at 100 TB this is a
-    map-only pass over the binary column, exactly like q80 over text."""
+    """REAL audio decode (no stub): integer-PCM and IMA-ADPCM WAV →
+    per-file signal features via one Arrow crossing per batch. Other
+    compressed audio (mp3/aac/ogg) raises NotImplementedError naming
+    the codec gap. The mono mix, RMS, peak and zero-crossing count are
+    the standard cheap speech/music screens of an audio training-data
+    pipeline; at 100 TB this is a map-only pass over the binary
+    column, exactly like q80 over text."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -353,8 +422,9 @@ def extract_audio_features(binary_df: DataFrame) -> DataFrame:
                 if dec is None:
                     raise NotImplementedError(
                         f"extract_audio_features: {path!r} is not integer-PCM "
-                        "WAV; compressed audio needs an audio codec library "
-                        "(e.g. soundfile/ffmpeg), not installed here"
+                        "or IMA-ADPCM WAV; other compressed audio (mp3/aac/"
+                        "ogg) needs a codec library (e.g. soundfile/ffmpeg), "
+                        "not installed here"
                     )
                 sr, ch, bits, mono = dec
                 n = int(mono.size)

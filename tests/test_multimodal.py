@@ -419,3 +419,132 @@ class TestLanguageId:
         df = spark.createDataFrame(samples, "text string")
         out = [r["lang"] for r in df.select(langid_udf("text").alias("lang")).collect()]
         assert out == ["en", "es", "de", "fr", "zh", "unknown"]
+
+
+# ---- IMA ADPCM (independent encoder; shares only the public spec
+# constants with the production decoder) ----
+
+ADPCM_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+)
+ADPCM_IDX_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _adpcm_encode_channel(samples, idx):
+    """Forward-path IMA quantizer: returns (nibbles, final_idx); the
+    caller anchors each block on the exact first sample."""
+    nibbles = []
+    pred = samples[0]
+    for s in samples[1:]:
+        step = ADPCM_STEPS[idx]
+        delta = s - pred
+        nib = 8 if delta < 0 else 0
+        if delta < 0:
+            delta = -delta
+        if delta >= step:
+            nib |= 4
+            delta -= step
+        if delta >= step >> 1:
+            nib |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            nib |= 1
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + ADPCM_IDX_ADJ[nib & 7]))
+        nibbles.append(nib)
+    return nibbles, idx
+
+
+def make_adpcm_wav(chan_signals, sample_rate=16000):
+    """IMA ADPCM WAV from per-channel int16 sample lists: 65 samples
+    per block per channel (1 header sample + 64 nibbles in 8 four-byte
+    words), words interleaved across channels."""
+    channels = len(chan_signals)
+    spb = 65
+    block_align = channels * (4 + 32)
+    n_blocks = len(chan_signals[0]) // spb
+    idxs = [0] * channels
+    data = bytearray()
+    for b in range(n_blocks):
+        seg = [cs[b * spb : (b + 1) * spb] for cs in chan_signals]
+        nibs = []
+        for c in range(channels):
+            data += struct.pack("<hBB", seg[c][0], idxs[c], 0)
+        for c in range(channels):
+            n, idxs[c] = _adpcm_encode_channel(seg[c], idxs[c])
+            nibs.append(n)
+        for w in range(8):  # 8 words of 8 nibbles per channel
+            for c in range(channels):
+                for byte_i in range(4):
+                    lo = nibs[c][w * 8 + byte_i * 2]
+                    hi = nibs[c][w * 8 + byte_i * 2 + 1]
+                    data += bytes([(hi << 4) | lo])
+    byte_rate = sample_rate * block_align // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, channels, sample_rate, byte_rate, block_align, 4, 2, spb
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 28 + len(fmt) + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + bytes(data)
+    )
+
+
+class TestAdpcmAudio:
+    def _sine16(self, sample_rate, seconds, freq, amp):
+        import math
+
+        return [
+            int(amp * 32767 * math.sin(2 * math.pi * freq * i / sample_rate))
+            for i in range(sample_rate * seconds)
+        ]
+
+    def test_mono_sine_features_via_spark(self, spark, tmp_path):
+        from batch_processing_system_spark.functions.multimodal import (
+            extract_audio_features,
+        )
+
+        sig = self._sine16(16000, 1, 440, 0.5)
+        (tmp_path / "a.wav").write_bytes(make_adpcm_wav([sig]))
+        row = extract_audio_features(
+            read_binary_dir(spark, str(tmp_path))
+        ).collect()[0]
+        assert (row["sample_rate"], row["channels"], row["bits"]) == (16000, 1, 4)
+        assert row["n_samples"] == (16000 // 65) * 65
+        assert abs(row["duration_ms"] - 999) <= 2
+        # 4-bit ADPCM is lossy but a sine tracks closely
+        assert abs(row["rms"] - 0.5 / 2**0.5) < 0.01
+        assert abs(row["peak"] - 0.5) < 0.03
+        assert abs(row["zero_crossings"] - 878) <= 6  # 2 per 440Hz cycle
+
+    def test_decode_error_is_small_and_stereo_mixes(self, spark, tmp_path):
+        import numpy as np
+
+        from batch_processing_system_spark.functions.multimodal import _wav_pcm
+
+        left = self._sine16(8000, 1, 200, 0.4)
+        right = self._sine16(8000, 1, 200, 0.4)
+        wav = make_adpcm_wav([left, right], sample_rate=8000)
+        sr, ch, bits, mono = _wav_pcm(wav)
+        assert (sr, ch, bits) == (8000, 2, 4)
+        n = mono.size
+        ref = np.array(left[:n], dtype=np.float64) / 32768.0
+        # identical channels -> the mono mix must equal one channel to
+        # within ADPCM quantization error
+        rmse = float(np.sqrt(np.mean((mono - ref) ** 2)))
+        assert rmse < 0.01, rmse
