@@ -17,16 +17,18 @@ What's real here vs stubbed (this container has no image/audio libs):
   sampling, restart markers), integer-PCM WAV decode with signal
   features (RMS/peak/zero-crossings over the mono mix), and
   animated-GIF frame sampling with a pure-Python LZW decoder + palette
-  mapping, and IMA/DVI ADPCM — the classic 4:1 COMPRESSED-audio WAV —
-  decoded from the public spec (step/index tables, per-block headers).
-  Every still-image format and every modality (image pixels, audio
-  samples incl. one compressed codec, motion frames) has a real
-  end-to-end decode path.
+  mapping, MJPEG-in-AVI frame sampling (RIFF walk + the same JPEG
+  decoder — a TRUE video container decoded end-to-end), and IMA/DVI
+  ADPCM — the classic 4:1 COMPRESSED-audio WAV — decoded from the
+  public spec (step/index tables, per-block headers). Every
+  still-image format and every modality (image pixels, audio samples
+  incl. one compressed codec, motion frames incl. one real container)
+  has a real end-to-end decode path.
 - STUBBED: arithmetic-coded/lossless JPEG, perceptual audio codecs
-  (mp3/aac/ogg need a codec lib), and true video containers (mp4/webm
-  need PyAV/ffmpeg) raise NotImplementedError naming the dependency;
-  the call signatures and output schemas are final so swapping the
-  real library in changes no plan.
+  (mp3/aac/ogg need a codec lib), and inter-frame-coded video
+  (h264/vp9 in mp4/webm need PyAV/ffmpeg) raise NotImplementedError
+  naming the dependency; the call signatures and output schemas are
+  final so swapping the real library in changes no plan.
 """
 
 from __future__ import annotations
@@ -550,6 +552,51 @@ def _gif_frames(content: bytes):
     return frames
 
 
+def _avi_mjpeg_frames(content: bytes):
+    """Parse an AVI container (RIFF walk) whose video stream is MJPEG —
+    every '00dc'/'00db' chunk is a standalone JPEG — into the same
+    [(delay_ms, width, height, rgb bytes)] shape as _gif_frames, using
+    the repo's own JPEG decoder (functions/jpeg.py, baseline +
+    progressive). Returns None if not an AVI; raises
+    NotImplementedError when the stream is a non-JPEG codec."""
+    if not content or len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        return None
+    from .jpeg import decode_jpeg_rgb
+
+    us_per_frame = [None]
+    frame_chunks: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = content[pos : pos + 4]
+            size = struct.unpack("<I", content[pos + 4 : pos + 8])[0]
+            body = pos + 8
+            if cid in (b"LIST", b"RIFF"):
+                walk(body + 4, min(body + size, len(content)))
+            elif cid == b"avih":
+                us_per_frame[0] = struct.unpack("<I", content[body : body + 4])[0]
+            elif cid[2:4] in (b"dc", b"db") and size > 0:
+                frame_chunks.append(content[body : body + size])
+            pos = body + size + (size & 1)  # chunks pad to even offsets
+
+    walk(12, len(content))
+    if not frame_chunks:
+        return None
+    delay_ms = max(1, (us_per_frame[0] or 40_000) // 1000)
+    frames = []
+    for chunk in frame_chunks:
+        rgb = decode_jpeg_rgb(chunk)
+        if rgb is None:
+            raise NotImplementedError(
+                "sample_video_frames: AVI video stream is not MJPEG; other "
+                "video codecs (h264/vp9/...) need an AV decoder (e.g. "
+                "PyAV/ffmpeg), not installed here"
+            )
+        h, w = rgb.shape[:2]
+        frames.append((delay_ms, w, h, rgb.tobytes()))
+    return frames
+
+
 VIDEO_FRAMES_SCHEMA = (
     "path string, frame_idx int, frame_ms bigint, width int, height int, "
     "frame_rgb binary"
@@ -557,14 +604,16 @@ VIDEO_FRAMES_SCHEMA = (
 
 
 def sample_video_frames(binary_df: DataFrame, every_ms: int) -> DataFrame:
-    """REAL frame sampling for the motion format this container can
+    """REAL frame sampling for the motion formats this container can
     decode end-to-end: animated GIF (block walk + pure-Python LZW +
-    palette mapping — no library). Sampling ticks every ``every_ms``
-    over the cumulative frame timeline; each tick emits the frame
-    active at that instant (deduped), as raw RGB bytes with its start
-    timestamp. True video containers (mp4/webm) raise
-    NotImplementedError naming the AV dependency — the schema is final
-    either way, so swapping in PyAV changes no plan."""
+    palette mapping) and MJPEG-in-AVI (RIFF walk + the repo's own JPEG
+    decoder) — no library either way. Sampling ticks every
+    ``every_ms`` over the cumulative frame timeline; each tick emits
+    the frame active at that instant (deduped), as raw RGB bytes with
+    its start timestamp. Inter-frame-coded video (h264/vp9 in
+    mp4/webm) raises NotImplementedError naming the AV dependency —
+    the schema is final either way, so swapping in PyAV changes no
+    plan."""
     # plan-build-time guard: every_ms <= 0 would make the tick loop
     # inside the executor task never advance (infinite loop in a worker,
     # invisible from the driver) — fail fast here instead
@@ -575,12 +624,15 @@ def sample_video_frames(binary_df: DataFrame, every_ms: int) -> DataFrame:
         for pdf in batches:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                frames = _gif_frames(bytes(content) if content is not None else b"")
+                data = bytes(content) if content is not None else b""
+                frames = _gif_frames(data)
+                if frames is None:
+                    frames = _avi_mjpeg_frames(data)
                 if frames is None:
                     raise NotImplementedError(
-                        f"sample_video_frames: {path!r} is not a GIF; real "
-                        "video containers need an AV decoder (e.g. "
-                        "PyAV/ffmpeg), not installed here"
+                        f"sample_video_frames: {path!r} is not a GIF or an "
+                        "MJPEG AVI; other video containers/codecs need an "
+                        "AV decoder (e.g. PyAV/ffmpeg), not installed here"
                     )
                 starts, t = [], 0
                 for delay_ms, _, _, _ in frames:

@@ -548,3 +548,98 @@ class TestAdpcmAudio:
         # within ADPCM quantization error
         rmse = float(np.sqrt(np.mean((mono - ref) ** 2)))
         assert rmse < 0.01, rmse
+
+
+# ---- MJPEG-in-AVI (independent container writer; frames encoded by
+# the independent JPEG encoder, so neither side shares decoder code) ----
+
+def make_mjpeg_avi(jpegs, us_per_frame=50_000, w=16, h=16):
+    avih = struct.pack(
+        "<14I", us_per_frame, 0, 0, 0, len(jpegs), 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    hdrl_body = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    movi_body = b"movi"
+    for j in jpegs:
+        movi_body += b"00dc" + struct.pack("<I", len(j)) + j
+        if len(j) & 1:
+            movi_body += b"\x00"
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+class TestMjpegAvi:
+    def _solid_jpeg(self, r, g, b, w=16, h=16):
+        import numpy as np
+
+        from tests._jpeg_encoder import encode_color
+
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        img[:, :] = (r, g, b)
+        return encode_color(img, (1, 1))
+
+    def test_frame_sampling_decodes_mjpeg(self, spark, tmp_path):
+        from batch_processing_system_spark.functions.multimodal import (
+            sample_video_frames,
+        )
+        from batch_processing_system_spark.sources.binaryfile import (
+            read_binary_dir,
+        )
+
+        jpegs = [
+            self._solid_jpeg(200, 30, 30),
+            self._solid_jpeg(30, 200, 30),
+            self._solid_jpeg(30, 30, 200),
+        ]
+        (tmp_path / "v.avi").write_bytes(make_mjpeg_avi(jpegs))
+        rows = sorted(
+            sample_video_frames(
+                read_binary_dir(spark, str(tmp_path), glob="*.avi"), 50
+            ).collect(),
+            key=lambda r: r["frame_idx"],
+        )
+        assert [r["frame_idx"] for r in rows] == [0, 1, 2]
+        assert [r["frame_ms"] for r in rows] == [0, 50, 100]
+        assert all((r["width"], r["height"]) == (16, 16) for r in rows)
+        # each sampled frame is its solid color (JPEG-lossy tolerance)
+        want = [(200, 30, 30), (30, 200, 30), (30, 30, 200)]
+        for r, (er, eg, eb) in zip(rows, want):
+            px = r["frame_rgb"][:3]
+            assert abs(px[0] - er) <= 6 and abs(px[1] - eg) <= 6 and abs(px[2] - eb) <= 6
+
+    def test_progressive_frames_also_decode(self, spark, tmp_path):
+        import numpy as np
+
+        from batch_processing_system_spark.functions.multimodal import (
+            sample_video_frames,
+        )
+        from batch_processing_system_spark.sources.binaryfile import (
+            read_binary_dir,
+        )
+        from tests._jpeg_encoder import encode_color_progressive
+
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        img[:, :] = (180, 60, 120)
+        (tmp_path / "p.avi").write_bytes(
+            make_mjpeg_avi([encode_color_progressive(img, (1, 1))])
+        )
+        [row] = sample_video_frames(
+            read_binary_dir(spark, str(tmp_path), glob="*.avi"), 40
+        ).collect()
+        px = row["frame_rgb"][:3]
+        assert abs(px[0] - 180) <= 6 and abs(px[1] - 60) <= 6 and abs(px[2] - 120) <= 6
+
+    def test_non_mjpeg_avi_names_codec(self, spark, tmp_path):
+        from batch_processing_system_spark.functions.multimodal import (
+            sample_video_frames,
+        )
+        from batch_processing_system_spark.sources.binaryfile import (
+            read_binary_dir,
+        )
+
+        (tmp_path / "x.avi").write_bytes(make_mjpeg_avi([b"\x00\x01notjpeg"]))
+        with pytest.raises(Exception, match="MJPEG"):
+            sample_video_frames(
+                read_binary_dir(spark, str(tmp_path), glob="*.avi"), 40
+            ).collect()
