@@ -175,14 +175,23 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytearray:
 _PNG_COLOR_TYPES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+# Adam7 interlace pass geometry: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def _decode_png_rgb(content: bytes):
-    """Decode a non-interlaced 8-bit PNG (color types 0 gray, 2 RGB,
-    3 palette, 4 gray+alpha, 6 RGBA) to a top-down (h, w, 3) uint8 RGB
-    array — stdlib zlib + struct + numpy only, no Pillow. Alpha is
-    dropped (no compositing), palette entries are looked up from PLTE.
-    Returns None for non-PNG bytes; raises NotImplementedError for PNG
-    variants (16-bit, sub-byte depths, Adam7 interlace) that need a
-    real image library."""
+    """Decode an 8-bit PNG (color types 0 gray, 2 RGB, 3 palette,
+    4 gray+alpha, 6 RGBA; interlace 0 OR Adam7) to a top-down
+    (h, w, 3) uint8 RGB array — stdlib zlib + struct + numpy only, no
+    Pillow. Adam7 decodes each of the 7 passes as its own filtered
+    sub-image and scatters it into place by the pass geometry. Alpha
+    is dropped (no compositing), palette entries are looked up from
+    PLTE. Returns None for non-PNG bytes; raises NotImplementedError
+    for PNG variants (16-bit, sub-byte depths) that need a real image
+    library."""
     import zlib
 
     import numpy as np
@@ -207,18 +216,37 @@ def _decode_png_rgb(content: bytes):
     w, h, depth, color, _comp, _filt, interlace = ihdr
     if color not in _PNG_COLOR_TYPES:
         raise ValueError(f"bad PNG color type {color}")
-    if depth != 8 or interlace != 0:
+    if depth != 8 or interlace not in (0, 1):
         raise NotImplementedError(
             f"PNG depth={depth} interlace={interlace} is beyond the "
-            "stdlib decoder (8-bit non-interlaced only); install Pillow"
+            "stdlib decoder (8-bit only); install Pillow"
         )
     ch = _PNG_COLOR_TYPES[color]
     stride = w * ch
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG IDAT length mismatch")
-    arr = np.frombuffer(bytes(_png_unfilter(raw, h, stride, ch)), dtype=np.uint8)
-    arr = arr.reshape(h, w, ch)
+    if interlace == 1:  # Adam7: 7 independently-filtered sub-images
+        arr = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * ch
+            seg = raw[off : off + ph * (pstride + 1)]
+            off += ph * (pstride + 1)
+            sub = np.frombuffer(
+                bytes(_png_unfilter(seg, ph, pstride, ch)), dtype=np.uint8
+            ).reshape(ph, pw, ch)
+            arr[y0::dy, x0::dx] = sub
+        if off != len(raw):
+            raise ValueError("PNG interlaced IDAT length mismatch")
+    else:
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG IDAT length mismatch")
+        arr = np.frombuffer(
+            bytes(_png_unfilter(raw, h, stride, ch)), dtype=np.uint8
+        ).reshape(h, w, ch)
     if color == 2:
         return arr
     if color == 6:

@@ -379,16 +379,17 @@ class TestPngDecode:
         got = _decode_one(spark, tmp_path, "a.png", make_real_png(px, 2), 2, 1)
         assert got == [255, 0, 0, 0, 0, 255]
 
-    def test_interlaced_names_pillow(self, spark, tmp_path):
+    def test_16bit_depth_names_pillow(self, spark, tmp_path):
+        # Adam7 interlace decodes natively since r5; the remaining
+        # named PNG gap is 16-bit depth
         data = make_real_png(self._pattern(2, 2, 3), 2)
-        # flip the IHDR interlace byte (offset: 8 sig + 8 hdr + 12 into IHDR)
         data = bytearray(data)
-        data[8 + 8 + 12] = 1
+        data[8 + 8 + 8] = 16  # IHDR bit-depth byte
         ihdr = bytes(data[8 + 8 : 8 + 8 + 13])
         import zlib as _z
 
         data[8 + 8 + 13 : 8 + 8 + 17] = struct.pack(">I", _z.crc32(b"IHDR" + ihdr))
-        (tmp_path / "i.png").write_bytes(bytes(data))
+        (tmp_path / "d.png").write_bytes(bytes(data))
         with pytest.raises(Exception, match="Pillow"):
             decode_and_resize(read_binary_dir(spark, str(tmp_path)), 2, 2).collect()
 
@@ -643,3 +644,70 @@ class TestMjpegAvi:
             sample_video_frames(
                 read_binary_dir(spark, str(tmp_path), glob="*.avi"), 40
             ).collect()
+
+
+def make_interlaced_png(pixels, color_type=2):
+    """Independent Adam7 encoder: splits the image into the 7 passes,
+    filter-0 scanlines per pass, one deflate stream."""
+    import zlib
+
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    h, w = len(pixels), len(pixels[0])
+    flat = [
+        [v for px in row for v in ((px,) if isinstance(px, int) else tuple(px))]
+        for row in pixels
+    ]
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for y in range(y0, h, dy):
+            raw.append(0)  # filter: None
+            for x in range(x0, w, dx):
+                raw += bytes(flat[y][x * ch : (x + 1) * ch])
+    png = b"\x89PNG\r\n\x1a\n" + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
+    )
+    png += _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return png + _png_chunk(b"IEND", b"")
+
+
+class TestInterlacedPng:
+    def test_adam7_rgb_decodes_exactly(self, spark, tmp_path):
+        import numpy as np
+
+        rng = np.random.default_rng(61)
+        img = rng.integers(0, 256, (13, 11, 3)).astype(np.uint8)
+        pixels = [[tuple(img[y, x]) for x in range(11)] for y in range(13)]
+        got = _decode_one(
+            spark, tmp_path, "i.png", make_interlaced_png(pixels), 11, 13
+        )
+        assert got == [int(v) for v in img.ravel()]
+
+    def test_adam7_matches_noninterlaced(self, spark, tmp_path):
+        import numpy as np
+
+        rng = np.random.default_rng(67)
+        img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+        pixels = [[tuple(img[y, x]) for x in range(16)] for y in range(16)]
+        a = _decode_one(
+            spark, tmp_path, "plain.png", make_real_png(pixels, 2), 16, 16
+        )
+        sub = tmp_path / "i"
+        sub.mkdir()
+        b = _decode_one(
+            spark, sub, "inter.png", make_interlaced_png(pixels), 16, 16
+        )
+        assert a == b
+
+    def test_adam7_tiny_image_skips_empty_passes(self, spark, tmp_path):
+        # 2x2: passes 2-5 are empty (their offsets exceed the image)
+        pixels = [[(10, 20, 30), (40, 50, 60)], [(70, 80, 90), (5, 6, 7)]]
+        got = _decode_one(
+            spark, tmp_path, "t.png", make_interlaced_png(pixels), 2, 2
+        )
+        assert got == [10, 20, 30, 40, 50, 60, 70, 80, 90, 5, 6, 7]
