@@ -10,7 +10,8 @@ What's real here vs stubbed (this container has no image/audio libs):
   pure-stdlib+numpy pixel decode + nearest-neighbor resize for
   uncompressed 24/32-bit BMP (BI_RGB), for PNG (stdlib zlib inflate +
   all five scanline filters, color types gray/RGB/palette/gray-alpha/
-  RGBA at bit depth 8), AND for JPEG (functions/jpeg.py — canonical
+  RGBA at bit depth 8 AND 16, non-interlaced and Adam7 — r5), AND for
+  JPEG (functions/jpeg.py — canonical
   Huffman entropy decode, dequantize, numpy IDCT, chroma upsample,
   YCbCr→RGB; baseline SOF0 and progressive SOF2 with spectral
   selection + successive approximation; grayscale + color at any
@@ -183,15 +184,16 @@ _ADAM7 = (
 
 
 def _decode_png_rgb(content: bytes):
-    """Decode an 8-bit PNG (color types 0 gray, 2 RGB, 3 palette,
-    4 gray+alpha, 6 RGBA; interlace 0 OR Adam7) to a top-down
-    (h, w, 3) uint8 RGB array — stdlib zlib + struct + numpy only, no
-    Pillow. Adam7 decodes each of the 7 passes as its own filtered
-    sub-image and scatters it into place by the pass geometry. Alpha
-    is dropped (no compositing), palette entries are looked up from
-    PLTE. Returns None for non-PNG bytes; raises NotImplementedError
-    for PNG variants (16-bit, sub-byte depths) that need a real image
-    library."""
+    """Decode an 8- or 16-bit PNG (color types 0 gray, 2 RGB,
+    3 palette, 4 gray+alpha, 6 RGBA; interlace 0 OR Adam7) to a
+    top-down (h, w, 3) uint8 RGB array — stdlib zlib + struct + numpy
+    only, no Pillow. Adam7 decodes each of the 7 passes as its own
+    filtered sub-image and scatters it into place by the pass
+    geometry; 16-bit samples reduce to their high byte (the standard
+    16→8 mapping). Alpha is dropped (no compositing), palette entries
+    are looked up from PLTE. Returns None for non-PNG bytes; raises
+    NotImplementedError for sub-byte depths (1/2/4-bit), which need a
+    real image library."""
     import zlib
 
     import numpy as np
@@ -216,14 +218,24 @@ def _decode_png_rgb(content: bytes):
     w, h, depth, color, _comp, _filt, interlace = ihdr
     if color not in _PNG_COLOR_TYPES:
         raise ValueError(f"bad PNG color type {color}")
-    if depth != 8 or interlace not in (0, 1):
+    if depth not in (8, 16) or interlace not in (0, 1):
         raise NotImplementedError(
             f"PNG depth={depth} interlace={interlace} is beyond the "
-            "stdlib decoder (8-bit only); install Pillow"
+            "stdlib decoder (8/16-bit only); install Pillow"
         )
+    if depth == 16 and color == 3:
+        raise ValueError("palette PNG cannot be 16-bit")
     ch = _PNG_COLOR_TYPES[color]
-    stride = w * ch
+    bpp = ch * (depth // 8)  # filter distance is in BYTES (spec 4.5.2)
+    stride = w * bpp
     raw = zlib.decompress(bytes(idat))
+
+    def to8(buf, ph, pw):
+        if depth == 16:
+            u16 = np.frombuffer(buf, dtype=">u2").reshape(ph, pw, ch)
+            return (u16 >> 8).astype(np.uint8)
+        return np.frombuffer(buf, dtype=np.uint8).reshape(ph, pw, ch)
+
     if interlace == 1:  # Adam7: 7 independently-filtered sub-images
         arr = np.zeros((h, w, ch), dtype=np.uint8)
         off = 0
@@ -232,21 +244,18 @@ def _decode_png_rgb(content: bytes):
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            pstride = pw * ch
+            pstride = pw * bpp
             seg = raw[off : off + ph * (pstride + 1)]
             off += ph * (pstride + 1)
-            sub = np.frombuffer(
-                bytes(_png_unfilter(seg, ph, pstride, ch)), dtype=np.uint8
-            ).reshape(ph, pw, ch)
-            arr[y0::dy, x0::dx] = sub
+            arr[y0::dy, x0::dx] = to8(
+                bytes(_png_unfilter(seg, ph, pstride, bpp)), ph, pw
+            )
         if off != len(raw):
             raise ValueError("PNG interlaced IDAT length mismatch")
     else:
         if len(raw) != h * (stride + 1):
             raise ValueError("PNG IDAT length mismatch")
-        arr = np.frombuffer(
-            bytes(_png_unfilter(raw, h, stride, ch)), dtype=np.uint8
-        ).reshape(h, w, ch)
+        arr = to8(bytes(_png_unfilter(raw, h, stride, bpp)), h, w)
     if color == 2:
         return arr
     if color == 6:

@@ -379,12 +379,12 @@ class TestPngDecode:
         got = _decode_one(spark, tmp_path, "a.png", make_real_png(px, 2), 2, 1)
         assert got == [255, 0, 0, 0, 0, 255]
 
-    def test_16bit_depth_names_pillow(self, spark, tmp_path):
-        # Adam7 interlace decodes natively since r5; the remaining
-        # named PNG gap is 16-bit depth
+    def test_subbyte_depth_names_pillow(self, spark, tmp_path):
+        # Adam7 and 16-bit decode natively since r5; the remaining
+        # named PNG gap is sub-byte depths (1/2/4-bit)
         data = make_real_png(self._pattern(2, 2, 3), 2)
         data = bytearray(data)
-        data[8 + 8 + 8] = 16  # IHDR bit-depth byte
+        data[8 + 8 + 8] = 4  # IHDR bit-depth byte
         ihdr = bytes(data[8 + 8 : 8 + 8 + 13])
         import zlib as _z
 
@@ -392,6 +392,53 @@ class TestPngDecode:
         (tmp_path / "d.png").write_bytes(bytes(data))
         with pytest.raises(Exception, match="Pillow"):
             decode_and_resize(read_binary_dir(spark, str(tmp_path)), 2, 2).collect()
+
+    def test_16bit_rgb_reduces_to_high_byte(self, spark, tmp_path):
+        import zlib as _z
+
+        import numpy as np
+
+        rng = np.random.default_rng(71)
+        img16 = rng.integers(0, 65536, (5, 7, 3)).astype(np.uint16)
+        raw = bytearray()
+        for y in range(5):
+            raw.append(0)  # filter: None
+            for x in range(7):
+                for c in range(3):
+                    raw += struct.pack(">H", int(img16[y, x, c]))
+        png = b"\x89PNG\r\n\x1a\n" + _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 7, 5, 16, 2, 0, 0, 0)
+        ) + _png_chunk(b"IDAT", _z.compress(bytes(raw))) + _png_chunk(b"IEND", b"")
+        got = _decode_one(spark, tmp_path, "hi.png", png, 7, 5)
+        want = [int(v) for v in (img16 >> 8).astype(np.uint8).ravel()]
+        assert got == want
+
+    def test_16bit_sub_filter_uses_byte_distance_six(self, spark, tmp_path):
+        # the 16-bit-specific decode detail: filters act bytewise at
+        # distance bpp = 6 for RGB16, not 3
+        import zlib as _z
+
+        import numpy as np
+
+        rng = np.random.default_rng(73)
+        img16 = rng.integers(0, 65536, (4, 6, 3)).astype(np.uint16)
+        raw = bytearray()
+        for y in range(4):
+            row = b"".join(
+                struct.pack(">H", int(img16[y, x, c]))
+                for x in range(6)
+                for c in range(3)
+            )
+            raw.append(1)  # filter: Sub
+            for i in range(len(row)):
+                prev = row[i - 6] if i >= 6 else 0
+                raw.append((row[i] - prev) & 0xFF)
+        png = b"\x89PNG\r\n\x1a\n" + _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 6, 4, 16, 2, 0, 0, 0)
+        ) + _png_chunk(b"IDAT", _z.compress(bytes(raw))) + _png_chunk(b"IEND", b"")
+        got = _decode_one(spark, tmp_path, "sub16.png", png, 6, 4)
+        want = [int(v) for v in (img16 >> 8).astype(np.uint8).ravel()]
+        assert got == want
 
 
 class TestStubs:
