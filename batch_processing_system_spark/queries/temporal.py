@@ -77,3 +77,120 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("user_id").agg(
         F.sum("is_new").cast("bigint").alias("n_sessions")
     )
+
+
+@register(
+    "q95_funnel",
+    """
+    WITH e AS (
+        SELECT user_id, event_type,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+        FROM events
+    ),
+    s1 AS (SELECT user_id, MIN(es) AS t1 FROM e
+           WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(es) AS t2 FROM e JOIN s1 USING (user_id)
+           WHERE event_type = 'view' AND es > t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(es) AS t3 FROM e JOIN s2 USING (user_id)
+           WHERE event_type = 'purchase' AND es > t2 GROUP BY e.user_id)
+    SELECT u.user_id,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage,
+           t1, t2, t3
+    FROM (SELECT DISTINCT user_id FROM e) u
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    """,
+    doc="Funnel analysis — per user, the deepest stage of the ordered "
+    "sequence signup → view → purchase with STRICTLY increasing "
+    "timestamps, plus each stage's entry time. Spark side: ONE shuffle "
+    "(groupBy user) collecting the sorted event sequence, then a pure "
+    "JVM higher-order F.aggregate automaton over it — no UDF, no "
+    "self-joins. The oracle is the greedy min-chain (earliest signup, "
+    "earliest later view, earliest later purchase), which the "
+    "sequential automaton provably equals: greedy is exchange-optimal "
+    "for subsequence existence, and both sides require strict '>' so "
+    "same-second events cannot chain. Per-user arrays are bounded by "
+    "per-user event count (the q22 caveat applies at extreme skew — "
+    "cap or pre-filter event types at 100 TB; the type filter below "
+    "already drops irrelevant rows before the shuffle).",
+)
+def q95_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    stages = ("signup", "view", "purchase")
+    evs = events.filter(F.col("event_type").isin(*stages)).select(
+        "user_id",
+        F.unix_timestamp("ts").alias("es"),
+        "event_id",
+        "event_type",
+    )
+    # all users appear in the output, even those with no funnel events
+    users = events.select("user_id").distinct()
+    seq = evs.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("es", "event_id", "event_type"))).alias(
+            "seq"
+        )
+    )
+    bnull = F.lit(None).cast("bigint")
+    state0 = F.struct(
+        F.lit(0).cast("int").alias("stage"),
+        bnull.alias("t1"),
+        bnull.alias("t2"),
+        bnull.alias("t3"),
+    )
+
+    def step(acc, ev):
+        to1 = (acc["stage"] == 0) & (ev["event_type"] == "signup")
+        to2 = (
+            (acc["stage"] == 1)
+            & (ev["event_type"] == "view")
+            & (ev["es"] > acc["t1"])
+        )
+        to3 = (
+            (acc["stage"] == 2)
+            & (ev["event_type"] == "purchase")
+            & (ev["es"] > acc["t2"])
+        )
+        return (
+            F.when(
+                to1,
+                F.struct(
+                    F.lit(1).cast("int").alias("stage"),
+                    ev["es"].alias("t1"),
+                    acc["t2"].alias("t2"),
+                    acc["t3"].alias("t3"),
+                ),
+            )
+            .when(
+                to2,
+                F.struct(
+                    F.lit(2).cast("int").alias("stage"),
+                    acc["t1"].alias("t1"),
+                    ev["es"].alias("t2"),
+                    acc["t3"].alias("t3"),
+                ),
+            )
+            .when(
+                to3,
+                F.struct(
+                    F.lit(3).cast("int").alias("stage"),
+                    acc["t1"].alias("t1"),
+                    acc["t2"].alias("t2"),
+                    ev["es"].alias("t3"),
+                ),
+            )
+            .otherwise(acc)
+        )
+
+    funnel = seq.select(
+        "user_id", F.aggregate("seq", state0, step).alias("f")
+    )
+    return users.join(funnel, "user_id", "left").select(
+        "user_id",
+        F.coalesce(F.col("f.stage"), F.lit(0).cast("int")).alias("stage"),
+        F.col("f.t1").alias("t1"),
+        F.col("f.t2").alias("t2"),
+        F.col("f.t3").alias("t3"),
+    )

@@ -261,6 +261,50 @@ class TestPiiScrub:
         assert any(r[2] > 0 for r in got)  # the fixture actually redacts
 
 
+class TestFunnel:
+    """q95: ordered-sequence funnel with strict time progression."""
+
+    def test_stage_semantics(self, spark, tmp_path):
+        from batch_processing_system_spark.queries.temporal import q95_funnel
+
+        def ev(eid, ts_s, uid, etype):
+            return (eid, ts_s * 1_000_000, uid, etype, 1.0, "{}")
+
+        rows = [
+            # user 1: full funnel in order
+            ev(1, 100, 1, "signup"), ev(2, 200, 1, "view"), ev(3, 300, 1, "purchase"),
+            # user 2: purchase BEFORE view — stops at stage 2 (signup+view)
+            ev(4, 100, 2, "signup"), ev(5, 150, 2, "purchase"), ev(6, 200, 2, "view"),
+            # user 3: view in the SAME second as signup — strict '>' blocks it
+            ev(7, 100, 3, "signup"), ev(8, 100, 3, "view"),
+            # user 4: only noise events — stage 0
+            ev(9, 100, 4, "click"), ev(10, 200, 4, "error"),
+            # user 5: view before any signup, then signup — stage 1
+            ev(11, 50, 5, "view"), ev(12, 100, 5, "signup"),
+        ]
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows]),
+            "props": pa.array([r[5] for r in rows]),
+        })
+        pq.write_table(tbl, str(tmp_path / "events.parquet"))
+        out = {
+            r["user_id"]: (r["stage"], r["t1"], r["t2"], r["t3"])
+            for r in q95_funnel(spark, str(tmp_path)).collect()
+        }
+        assert out[1] == (3, 100, 200, 300)
+        assert out[2] == (2, 100, 200, None)
+        assert out[3] == (1, 100, None, None)
+        assert out[4] == (0, None, None, None)
+        assert out[5] == (1, 100, None, None)
+
+
 class TestGramNovelty:
     """q94: corpus-level originality — copies score 0, unique docs 1,
     a half-copied doc lands in between."""
