@@ -194,3 +194,52 @@ def q95_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f.t2").alias("t2"),
         F.col("f.t3").alias("t3"),
     )
+
+
+@register(
+    "q96_retention",
+    """
+    WITH e AS (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+        FROM events
+    ),
+    cohorts AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT e.user_id, c.cohort_day,
+               date_diff('day', c.cohort_day, e.d) AS offset_days
+        FROM e JOIN cohorts c USING (user_id)
+    )
+    SELECT cohort_day, CAST(offset_days AS BIGINT) AS offset_days,
+           COUNT(*) AS n_users
+    FROM activity WHERE offset_days <= 7
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention — the second classic behavioral-analytics "
+    "shape next to the funnel (q95): users cohorted by first-activity "
+    "day, then for each day offset 0..7 the count of cohort members "
+    "active that day. Two hash aggregations and one user-keyed join "
+    "(the cohort map is user-sized — broadcastable against a 100 TB "
+    "event log); distinct-per-day dedup rides the same shuffle. All "
+    "outputs are DATE/BIGINT — nothing to round.",
+)
+def q96_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    )
+    cohorts = e.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    activity = (
+        e.join(cohorts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day")).alias("offset_days"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("offset_days") <= 7)
+        .groupBy("cohort_day", F.col("offset_days").cast("bigint").alias("offset_days"))
+        .agg(bcount("n_users"))
+    )
