@@ -18,7 +18,9 @@ What's real here vs stubbed (this container has no image/audio libs):
   sampling, restart markers), integer-PCM WAV decode with signal
   features (RMS/peak/zero-crossings over the mono mix), and
   animated-GIF frame sampling with a pure-Python LZW decoder + palette
-  mapping, MJPEG-in-AVI frame sampling (RIFF walk + the same JPEG
+  mapping AND full frame composition (partial frames at offsets,
+  transparency, disposal methods 0-3 — r5), MJPEG-in-AVI frame
+  sampling (RIFF walk + the same JPEG
   decoder — a TRUE video container decoded end-to-end), and IMA/DVI
   ADPCM — the classic 4:1 COMPRESSED-audio WAV — decoded from the
   public spec (step/index tables, per-block headers). Every
@@ -526,21 +528,29 @@ def _gif_lzw_decode(mcs: int, data: bytes) -> bytes:
 
 def _gif_frames(content: bytes):
     """Parse an (animated) GIF into [(delay_ms, width, height, rgb
-    bytes)] — pure Python block walk + LZW. Supports the common case a
-    frame-sampler needs: non-interlaced full-logical-screen frames with
-    a global or local palette. Returns None if not a GIF; raises
-    NotImplementedError for interlaced/partial frames (composition
-    needs disposal-state tracking)."""
+    bytes)] — pure Python block walk + LZW with full frame
+    COMPOSITION (r5): partial frames paint onto a persistent logical
+    screen at their (left, top) offset, transparency leaves the
+    underlying canvas visible, and the GCE disposal methods are
+    honored (0/1 keep, 2 restore-to-background, 3 restore-previous).
+    Every emitted frame is the composed logical screen. Returns None
+    if not a GIF; raises NotImplementedError for interlaced frames
+    (a different row order, not a composition feature)."""
     if not content or content[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     sw, sh, flags = struct.unpack("<HHB", content[6:11])
+    bg_index = content[11]
     pos = 13
     gct = None
     if flags & 0x80:
         n = 3 * (2 << (flags & 7))
         gct = content[pos : pos + n]
         pos += n
-    frames, delay_ms = [], 0
+    bg_rgb = bytes(gct[3 * bg_index : 3 * bg_index + 3]) if gct else b"\x00\x00\x00"
+    if len(bg_rgb) < 3:
+        bg_rgb = b"\x00\x00\x00"
+    canvas = bytearray(bg_rgb * (sw * sh))
+    frames, delay_ms, disposal, transp = [], 0, 0, None
     while pos < len(content):
         b0 = content[pos]
         if b0 == 0x3B:  # trailer
@@ -549,7 +559,10 @@ def _gif_frames(content: bytes):
             label = content[pos + 1]
             pos += 2
             if label == 0xF9 and content[pos] == 4:
+                packed = content[pos + 1]
                 delay_ms = struct.unpack("<H", content[pos + 2 : pos + 4])[0] * 10
+                disposal = (packed >> 2) & 7
+                transp = content[pos + 4] if packed & 1 else None
             while content[pos]:  # skip sub-blocks
                 pos += 1 + content[pos]
             pos += 1
@@ -562,11 +575,10 @@ def _gif_frames(content: bytes):
                 n = 3 * (2 << (iflags & 7))
                 pal = content[pos : pos + n]
                 pos += n
-            if iflags & 0x40 or (left, top, w, h) != (0, 0, sw, sh):
+            if iflags & 0x40:
                 raise NotImplementedError(
-                    "sample_video_frames: interlaced or partial-frame GIF "
-                    "needs disposal-state composition; install Pillow for "
-                    "the general path"
+                    "sample_video_frames: interlaced GIF frames need the "
+                    "four-pass row order; install Pillow for that path"
                 )
             if pal is None:
                 raise ValueError("GIF frame has no palette")
@@ -579,11 +591,23 @@ def _gif_frames(content: bytes):
                 pos += 1 + ln
             pos += 1
             idx = _gif_lzw_decode(mcs, bytes(data))[: w * h]
-            rgb = bytearray(w * h * 3)
-            for i, ci in enumerate(idx):
-                rgb[3 * i : 3 * i + 3] = pal[3 * ci : 3 * ci + 3]
-            frames.append((delay_ms, w, h, bytes(rgb)))
-            delay_ms = 0
+            saved = bytes(canvas) if disposal == 3 else None
+            for row in range(min(h, sh - top)):
+                for col in range(min(w, sw - left)):
+                    ci = idx[row * w + col]
+                    if transp is not None and ci == transp:
+                        continue
+                    o = 3 * ((top + row) * sw + (left + col))
+                    canvas[o : o + 3] = pal[3 * ci : 3 * ci + 3]
+            frames.append((delay_ms, sw, sh, bytes(canvas)))
+            if disposal == 2:  # restore the frame's rect to background
+                for row in range(min(h, sh - top)):
+                    for col in range(min(w, sw - left)):
+                        o = 3 * ((top + row) * sw + (left + col))
+                        canvas[o : o + 3] = bg_rgb
+            elif disposal == 3 and saved is not None:
+                canvas = bytearray(saved)
+            delay_ms, disposal, transp = 0, 0, None
             continue
         raise ValueError(f"unknown GIF block 0x{b0:02x}")
     return frames

@@ -758,3 +758,108 @@ class TestInterlacedPng:
             spark, tmp_path, "t.png", make_interlaced_png(pixels), 2, 2
         )
         assert got == [10, 20, 30, 40, 50, 60, 70, 80, 90, 5, 6, 7]
+
+
+def make_partial_gif(frame_specs, w, h, palette=PALETTE4, bg_index=0):
+    """Animated GIF with per-frame sub-rectangles, disposal methods
+    and optional transparency: frame_specs is a list of
+    (indices, (left, top, fw, fh), delay_cs, disposal, transparent_idx)."""
+    flags = 0x80 | 0x01  # GCT present, 4 entries
+    out = bytearray(b"GIF89a" + struct.pack("<HHBBB", w, h, flags, bg_index, 0))
+    for r, g, b in palette:
+        out += bytes((r, g, b))
+    for idxs, (left, top, fw, fh), delay, disposal, transp in frame_specs:
+        packed = (disposal << 2) | (1 if transp is not None else 0)
+        out += b"\x21\xf9\x04" + bytes([packed]) + struct.pack("<H", delay)
+        out += bytes([transp if transp is not None else 0, 0])
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, fw, fh, 0)
+        data = _lzw_encode_simple(2, idxs)
+        out += bytes([2])
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+class TestGifComposition:
+    """Partial-frame GIF composition: offsets, transparency, and the
+    GCE disposal methods (r5 — previously raised)."""
+
+    def _frames(self, spark, tmp_path, data, every_ms=50):
+        from batch_processing_system_spark.functions.multimodal import (
+            sample_video_frames,
+        )
+
+        (tmp_path / "g.gif").write_bytes(data)
+        rows = sample_video_frames(
+            read_binary_dir(spark, str(tmp_path), glob="*.gif"), every_ms
+        ).collect()
+        return {r["frame_idx"]: r for r in rows}
+
+    def _px(self, row, x, y, w=4):
+        o = 3 * (y * w + x)
+        return tuple(row["frame_rgb"][o : o + 3])
+
+    def test_partial_frame_composes_onto_canvas(self, spark, tmp_path):
+        # frame 0: full 4x4 of color 1; frame 1: 1x1 patch of color 2
+        # at (2,1) — the rest of the canvas must persist
+        data = make_partial_gif(
+            [
+                ([1] * 16, (0, 0, 4, 4), 5, 0, None),
+                ([2], (2, 1, 1, 1), 5, 0, None),
+            ],
+            4, 4,
+        )
+        frames = self._frames(spark, tmp_path, data)
+        assert (frames[0]["width"], frames[0]["height"]) == (4, 4)
+        c1, c2 = PALETTE4[1], PALETTE4[2]
+        assert self._px(frames[1], 2, 1) == c2
+        assert self._px(frames[1], 0, 0) == c1  # persisted
+        assert self._px(frames[1], 3, 3) == c1
+
+    def test_disposal_restore_to_background(self, spark, tmp_path):
+        # frame 1's patch is disposed to background before frame 2
+        data = make_partial_gif(
+            [
+                ([1] * 16, (0, 0, 4, 4), 5, 0, None),
+                ([2], (0, 0, 1, 1), 5, 2, None),   # disposal 2
+                ([3], (3, 3, 1, 1), 5, 0, None),
+            ],
+            4, 4, bg_index=0,
+        )
+        frames = self._frames(spark, tmp_path, data)
+        assert self._px(frames[1], 0, 0) == PALETTE4[2]  # visible in f1
+        assert self._px(frames[2], 0, 0) == PALETTE4[0]  # then bg in f2
+        assert self._px(frames[2], 3, 3) == PALETTE4[3]
+        assert self._px(frames[2], 1, 1) == PALETTE4[1]  # untouched area
+
+    def test_transparency_leaves_canvas_through(self, spark, tmp_path):
+        # frame 1 paints 2x1 at (0,0): [transparent, color 3] — the
+        # transparent cell keeps frame 0's color
+        data = make_partial_gif(
+            [
+                ([1] * 16, (0, 0, 4, 4), 5, 0, None),
+                ([0, 3], (0, 0, 2, 1), 5, 0, 0),  # index 0 transparent
+            ],
+            4, 4,
+        )
+        frames = self._frames(spark, tmp_path, data)
+        assert self._px(frames[1], 0, 0) == PALETTE4[1]  # shows through
+        assert self._px(frames[1], 1, 0) == PALETTE4[3]
+
+    def test_disposal_restore_previous(self, spark, tmp_path):
+        # frame 1 (disposal 3) vanishes entirely before frame 2
+        data = make_partial_gif(
+            [
+                ([1] * 16, (0, 0, 4, 4), 5, 0, None),
+                ([2, 2, 2, 2], (1, 1, 2, 2), 5, 3, None),  # disposal 3
+                ([3], (0, 0, 1, 1), 5, 0, None),
+            ],
+            4, 4,
+        )
+        frames = self._frames(spark, tmp_path, data)
+        assert self._px(frames[1], 1, 1) == PALETTE4[2]
+        assert self._px(frames[2], 1, 1) == PALETTE4[1]  # restored
+        assert self._px(frames[2], 0, 0) == PALETTE4[3]
