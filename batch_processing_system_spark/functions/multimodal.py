@@ -19,7 +19,8 @@ What's real here vs stubbed (this container has no image/audio libs):
   features (RMS/peak/zero-crossings over the mono mix), and
   animated-GIF frame sampling with a pure-Python LZW decoder + palette
   mapping AND full frame composition (partial frames at offsets,
-  transparency, disposal methods 0-3 — r5), MJPEG-in-AVI frame
+  transparency, disposal methods 0-3, 4-pass interlace — r5; the GIF
+  path is feature-complete), MJPEG-in-AVI frame
   sampling (RIFF walk + the same JPEG
   decoder — a TRUE video container decoded end-to-end), and IMA/DVI
   ADPCM — the classic 4:1 COMPRESSED-audio WAV — decoded from the
@@ -532,10 +533,10 @@ def _gif_frames(content: bytes):
     COMPOSITION (r5): partial frames paint onto a persistent logical
     screen at their (left, top) offset, transparency leaves the
     underlying canvas visible, and the GCE disposal methods are
-    honored (0/1 keep, 2 restore-to-background, 3 restore-previous).
-    Every emitted frame is the composed logical screen. Returns None
-    if not a GIF; raises NotImplementedError for interlaced frames
-    (a different row order, not a composition feature)."""
+    honored (0/1 keep, 2 restore-to-background, 3 restore-previous);
+    interlaced frames deinterlace via the 4-pass row order. Every
+    emitted frame is the composed logical screen. Returns None if not
+    a GIF."""
     if not content or content[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     sw, sh, flags = struct.unpack("<HHB", content[6:11])
@@ -575,11 +576,6 @@ def _gif_frames(content: bytes):
                 n = 3 * (2 << (iflags & 7))
                 pal = content[pos : pos + n]
                 pos += n
-            if iflags & 0x40:
-                raise NotImplementedError(
-                    "sample_video_frames: interlaced GIF frames need the "
-                    "four-pass row order; install Pillow for that path"
-                )
             if pal is None:
                 raise ValueError("GIF frame has no palette")
             mcs = content[pos]
@@ -591,6 +587,15 @@ def _gif_frames(content: bytes):
                 pos += 1 + ln
             pos += 1
             idx = _gif_lzw_decode(mcs, bytes(data))[: w * h]
+            if iflags & 0x40:  # interlaced: rows arrive in 4-pass order
+                order = (
+                    list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                )
+                deinter = bytearray(w * h)
+                for src, dst in enumerate(order):
+                    deinter[dst * w : (dst + 1) * w] = idx[src * w : (src + 1) * w]
+                idx = bytes(deinter)
             saved = bytes(canvas) if disposal == 3 else None
             for row in range(min(h, sh - top)):
                 for col in range(min(w, sw - left)):

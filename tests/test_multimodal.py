@@ -863,3 +863,43 @@ class TestGifComposition:
         assert self._px(frames[1], 1, 1) == PALETTE4[2]
         assert self._px(frames[2], 1, 1) == PALETTE4[1]  # restored
         assert self._px(frames[2], 0, 0) == PALETTE4[3]
+
+
+class TestGifInterlace:
+    def test_interlaced_rows_deinterlace(self, spark, tmp_path):
+        from batch_processing_system_spark.functions.multimodal import (
+            sample_video_frames,
+        )
+
+        # 4x9 image, row y painted color (y % 4) — interlace reorders
+        # rows in the stream; the decode must restore natural order
+        h, w = 9, 4
+        rows_natural = [[y % 4] * w for y in range(h)]
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        stream_rows = [rows_natural[y] for y in order]
+        idxs = [v for row in stream_rows for v in row]
+
+        flags = 0x80 | 0x01
+        out = bytearray(b"GIF89a" + struct.pack("<HHBBB", w, h, flags, 0, 0))
+        for r, g, b in PALETTE4:
+            out += bytes((r, g, b))
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", 5) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlaced
+        data = _lzw_encode_simple(2, idxs)
+        out += bytes([2])
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00\x3b"
+        (tmp_path / "i.gif").write_bytes(bytes(out))
+
+        [row] = sample_video_frames(
+            read_binary_dir(spark, str(tmp_path), glob="*.gif"), 40
+        ).collect()
+        rgb = row["frame_rgb"]
+        for y in range(h):
+            px = tuple(rgb[3 * (y * w) : 3 * (y * w) + 3])
+            assert px == PALETTE4[y % 4], (y, px)
