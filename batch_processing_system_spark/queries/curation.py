@@ -391,6 +391,58 @@ def q90_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Markup-strip patterns, Java-regex/RE2 common subset like the PII
+#: ones: tags, HTML entities, then whitespace collapse.
+HTML_TAG_RE = r"<[^>]*>"
+HTML_ENTITY_RE = r"&[A-Za-z]{2,8};|&#[0-9]{1,7};"
+WS_RE = r"\s+"
+
+_HTML_STRIP_ORACLE = f"""
+    WITH s AS (
+        SELECT doc_id,
+               regexp_replace(text, '{HTML_TAG_RE}', ' ', 'g') AS t1
+        FROM documents
+    ),
+    e AS (
+        SELECT doc_id,
+               regexp_replace(t1, '{HTML_ENTITY_RE}', ' ', 'g') AS t2
+        FROM s
+    )
+    SELECT doc_id,
+           trim(regexp_replace(t2, '{WS_RE}', ' ', 'g')) AS clean_text,
+           CAST(len(list_filter(string_split(
+               trim(regexp_replace(t2, '{WS_RE}', ' ', 'g')), ' '),
+               w -> w <> '')) AS BIGINT) AS n_tokens
+    FROM e
+"""
+
+
+@register(
+    "q98_html_strip",
+    _HTML_STRIP_ORACLE,
+    doc="X4/X6 — markup stripping, the normalization every web-scraped "
+    "corpus runs before tokenization: HTML tags and entities become "
+    "spaces, whitespace collapses to single spaces, and the clean "
+    "token count rides along. Pure map-side regexp in the "
+    "Java-regex/RE2 common subset (no lookaround/backrefs), zero "
+    "shuffle, fuses into the ingest scan like the PII scrub (q90). "
+    "The synthetic corpus carries no markup (the pass is the "
+    "identity there — still hash-checked); planted-markup semantics "
+    "are pinned in tests.",
+)
+def q98_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t1 = F.regexp_replace("text", HTML_TAG_RE, " ")
+    t2 = F.regexp_replace(t1, HTML_ENTITY_RE, " ")
+    clean = F.trim(F.regexp_replace(t2, WS_RE, " "))
+    toks = F.filter(F.split(clean, " "), lambda w: w != "")
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+
+
 _CURATION_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, lang,

@@ -243,3 +243,39 @@ def q96_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", F.col("offset_days").cast("bigint").alias("offset_days"))
         .agg(bcount("n_users"))
     )
+
+
+@register(
+    "q97_transitions",
+    """
+    WITH e AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type, next_type, COUNT(*) AS cnt
+    FROM e WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="Event transition matrix — the first-order Markov view of the "
+    "clickstream: per user, each consecutive (event, next event) pair "
+    "ordered by time (event_id tiebreak, D3), counted corpus-wide. "
+    "One shuffle for the per-user window, one for the pair count; "
+    "output is |event types|^2 rows regardless of data size. The "
+    "companion diagnostic to the funnel (q95): the funnel asks 'did "
+    "the ordered chain complete', this asks 'where do users actually "
+    "go next'.",
+)
+def q97_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        e.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(bcount("cnt"))
+    )

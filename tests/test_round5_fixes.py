@@ -261,6 +261,55 @@ class TestPiiScrub:
         assert any(r[2] > 0 for r in got)  # the fixture actually redacts
 
 
+class TestHtmlStrip:
+    """q98: markup stripping on planted HTML (the synthetic corpus has
+    none) with DuckDB oracle parity."""
+
+    ROWS = [
+        (1, "<p>hello <b>world</b></p> &amp; more &#8212; done"),
+        (2, "plain words stay untouched"),
+        (3, "<div class='x'>a</div><br/>b   c"),
+    ]
+
+    def _sf_dir(self, spark, tmp_path):
+        spark.createDataFrame(
+            self.ROWS, "doc_id bigint, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        return str(tmp_path)
+
+    def test_strip_semantics(self, spark, tmp_path):
+        from batch_processing_system_spark.queries.curation import q98_html_strip
+
+        out = {
+            r["doc_id"]: (r["clean_text"], r["n_tokens"])
+            for r in q98_html_strip(spark, self._sf_dir(spark, tmp_path)).collect()
+        }
+        assert out[1] == ("hello world more done", 4)
+        assert out[2] == ("plain words stay untouched", 4)
+        assert out[3] == ("a b c", 3)
+
+    def test_oracle_parity_on_planted_markup(self, spark, tmp_path):
+        import duckdb
+
+        from batch_processing_system_spark.queries import REGISTRY, _ensure_loaded
+        from batch_processing_system_spark.queries.curation import q98_html_strip
+
+        _ensure_loaded()
+        sf_dir = self._sf_dir(spark, tmp_path)
+        got = sorted(map(tuple, q98_html_strip(spark, sf_dir).collect()))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+        )
+        want = sorted(
+            tuple(r) for r in con.execute(REGISTRY["q98_html_strip"].oracle).fetchall()
+        )
+        assert got == want
+
+
 class TestFunnel:
     """q95: ordered-sequence funnel with strict time progression."""
 
