@@ -257,6 +257,15 @@ def _decode_scan_into(
     baseline (full band, Ah=Al=0), progressive DC first/refine,
     progressive AC first/refine with EOB-run coding."""
     comp_idx = {g["id"]: i for i, g in enumerate(geom)}
+    # a scan referencing an undefined Huffman table would otherwise
+    # surface as an AttributeError deep inside the bit reader on a
+    # corrupt file — fail with a clear decode error up front (DC table
+    # is only consumed when ss==0 and ah==0; AC whenever se > 0)
+    for cs, td, ta in scomps:
+        if ss == 0 and ah == 0 and td not in huff_dc:
+            raise ValueError(f"scan references undefined DC Huffman table {td}")
+        if se > 0 and ta not in huff_ac:
+            raise ValueError(f"scan references undefined AC Huffman table {ta}")
     reader = _BitReader(data, pos)
     preds = [0] * len(geom)
     eobrun = 0

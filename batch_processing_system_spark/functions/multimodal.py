@@ -363,8 +363,14 @@ def _ima_adpcm_decode(data: bytes, channels: int, block_align: int):
     import numpy as np
 
     out = [[] for _ in range(channels)]
-    for bstart in range(0, len(data) - len(data) % block_align, block_align):
+    # iterate to len(data): real encoders commonly emit a short final
+    # block, and its samples are still valid — decode as many complete
+    # 4-byte-per-channel word groups as the remainder holds after the
+    # per-channel headers (a tail shorter than the headers is dropped)
+    for bstart in range(0, len(data), block_align):
         block = data[bstart : bstart + block_align]
+        if len(block) < 4 * channels:
+            break
         preds, idxs = [], []
         for c in range(channels):
             pred, idx = struct.unpack("<hB", block[4 * c : 4 * c + 3])
@@ -536,20 +542,27 @@ def _gif_frames(content: bytes):
     honored (0/1 keep, 2 restore-to-background, 3 restore-previous);
     interlaced frames deinterlace via the 4-pass row order. Every
     emitted frame is the composed logical screen. Returns None if not
-    a GIF."""
+    a GIF.
+
+    Disposal 2 (restore-to-background) follows common renderer
+    behavior (browsers, Pillow): the restored rect becomes
+    TRANSPARENT, not the background-color palette entry — and because
+    the output is RGB (no alpha channel), never-painted/restored
+    pixels emit a fixed black (0,0,0) sentinel, matching what an
+    RGBA→RGB flatten over black would produce."""
     if not content or content[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     sw, sh, flags = struct.unpack("<HHB", content[6:11])
-    bg_index = content[11]
     pos = 13
     gct = None
     if flags & 0x80:
         n = 3 * (2 << (flags & 7))
         gct = content[pos : pos + n]
         pos += n
-    bg_rgb = bytes(gct[3 * bg_index : 3 * bg_index + 3]) if gct else b"\x00\x00\x00"
-    if len(bg_rgb) < 3:
-        bg_rgb = b"\x00\x00\x00"
+    # transparent-pixel sentinel: the canvas starts transparent and
+    # disposal 2 restores to transparent (see docstring) — in RGB
+    # output that is a fixed black, NOT the background palette entry
+    bg_rgb = b"\x00\x00\x00"
     canvas = bytearray(bg_rgb * (sw * sh))
     frames, delay_ms, disposal, transp = [], 0, 0, None
     while pos < len(content):
@@ -605,11 +618,11 @@ def _gif_frames(content: bytes):
                     o = 3 * ((top + row) * sw + (left + col))
                     canvas[o : o + 3] = pal[3 * ci : 3 * ci + 3]
             frames.append((delay_ms, sw, sh, bytes(canvas)))
-            if disposal == 2:  # restore the frame's rect to background
+            if disposal == 2:  # restore the frame's rect to transparent
                 for row in range(min(h, sh - top)):
                     for col in range(min(w, sw - left)):
                         o = 3 * ((top + row) * sw + (left + col))
-                        canvas[o : o + 3] = bg_rgb
+                        canvas[o : o + 3] = bg_rgb  # transparent sentinel
             elif disposal == 3 and saved is not None:
                 canvas = bytearray(saved)
             delay_ms, disposal, transp = 0, 0, None
@@ -630,6 +643,11 @@ def _avi_mjpeg_frames(content: bytes):
     from .jpeg import decode_jpeg_rgb
 
     us_per_frame = [None]
+    # streams are numbered by 'strh' order in the hdrl LIST (which
+    # precedes movi); collect ONLY the first 'vids' stream's '##dc/db'
+    # chunks so a multi-stream AVI (audio+video, or two video streams)
+    # doesn't interleave foreign frames into one timeline
+    stream_no, video_stream = [0], [None]
     frame_chunks: list[bytes] = []
 
     def walk(pos: int, end: int) -> None:
@@ -641,8 +659,14 @@ def _avi_mjpeg_frames(content: bytes):
                 walk(body + 4, min(body + size, len(content)))
             elif cid == b"avih":
                 us_per_frame[0] = struct.unpack("<I", content[body : body + 4])[0]
+            elif cid == b"strh":
+                if content[body : body + 4] == b"vids" and video_stream[0] is None:
+                    video_stream[0] = stream_no[0]
+                stream_no[0] += 1
             elif cid[2:4] in (b"dc", b"db") and size > 0:
-                frame_chunks.append(content[body : body + size])
+                want = b"%02d" % (video_stream[0] if video_stream[0] is not None else 0)
+                if cid[:2] == want:
+                    frame_chunks.append(content[body : body + size])
             pos = body + size + (size & 1)  # chunks pad to even offsets
 
     walk(12, len(content))

@@ -820,7 +820,10 @@ class TestGifComposition:
         assert self._px(frames[1], 3, 3) == c1
 
     def test_disposal_restore_to_background(self, spark, tmp_path):
-        # frame 1's patch is disposed to background before frame 2
+        # frame 1's patch is disposed before frame 2 — common renderer
+        # behavior (browsers, Pillow) treats restore-to-background as
+        # TRANSPARENT, which in RGB output is the black sentinel, not
+        # the background-color palette entry (r6 ADVICE fix)
         data = make_partial_gif(
             [
                 ([1] * 16, (0, 0, 4, 4), 5, 0, None),
@@ -831,7 +834,7 @@ class TestGifComposition:
         )
         frames = self._frames(spark, tmp_path, data)
         assert self._px(frames[1], 0, 0) == PALETTE4[2]  # visible in f1
-        assert self._px(frames[2], 0, 0) == PALETTE4[0]  # then bg in f2
+        assert self._px(frames[2], 0, 0) == (0, 0, 0)  # transparent in f2
         assert self._px(frames[2], 3, 3) == PALETTE4[3]
         assert self._px(frames[2], 1, 1) == PALETTE4[1]  # untouched area
 
