@@ -89,9 +89,25 @@ def connected_components(
 
     ``rounds_out``: optional list; the executed round count is appended
     (test/observability hook)."""
+    # symmetrize map-side with explode so the (possibly very expensive)
+    # pair-generation pipeline (e.g. q46's shingle/inverted-index/verify
+    # chain) appears ONCE in the edges plan — a self-unionAll would
+    # embed it twice, and an extra eager checkpoint of the pair set
+    # measured slower than the recompute it saves (r6 VERDICT fix)
     edges = (
-        pairs.select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
-        .unionAll(pairs.select(F.col("doc_id_b").alias("a"), F.col("doc_id_a").alias("b")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b")
+                    ),
+                    F.struct(
+                        F.col("doc_id_b").alias("a"), F.col("doc_id_a").alias("b")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .localCheckpoint(eager=True)
     )
     # Size the loop's parallelism to the pair graph, not the session
