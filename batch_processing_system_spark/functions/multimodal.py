@@ -187,16 +187,17 @@ _ADAM7 = (
 
 
 def _decode_png_rgb(content: bytes):
-    """Decode an 8- or 16-bit PNG (color types 0 gray, 2 RGB,
+    """Decode a 1/2/4/8/16-bit PNG (color types 0 gray, 2 RGB,
     3 palette, 4 gray+alpha, 6 RGBA; interlace 0 OR Adam7) to a
     top-down (h, w, 3) uint8 RGB array — stdlib zlib + struct + numpy
     only, no Pillow. Adam7 decodes each of the 7 passes as its own
     filtered sub-image and scatters it into place by the pass
     geometry; 16-bit samples reduce to their high byte (the standard
-    16→8 mapping). Alpha is dropped (no compositing), palette entries
-    are looked up from PLTE. Returns None for non-PNG bytes; raises
-    NotImplementedError for sub-byte depths (1/2/4-bit), which need a
-    real image library."""
+    16→8 mapping); sub-byte samples (1/2/4-bit, legal only for gray
+    and palette) unpack MSB-first with per-row byte padding, gray
+    scaling by 255/(2^depth-1) (exact for these depths). Alpha is
+    dropped (no compositing), palette entries are looked up from
+    PLTE. Returns None for non-PNG bytes."""
     import zlib
 
     import numpy as np
@@ -221,22 +222,35 @@ def _decode_png_rgb(content: bytes):
     w, h, depth, color, _comp, _filt, interlace = ihdr
     if color not in _PNG_COLOR_TYPES:
         raise ValueError(f"bad PNG color type {color}")
-    if depth not in (8, 16) or interlace not in (0, 1):
-        raise NotImplementedError(
-            f"PNG depth={depth} interlace={interlace} is beyond the "
-            "stdlib decoder (8/16-bit only); install Pillow"
-        )
+    if depth not in (1, 2, 4, 8, 16) or interlace not in (0, 1):
+        raise ValueError(f"bad PNG depth={depth} interlace={interlace}")
     if depth == 16 and color == 3:
         raise ValueError("palette PNG cannot be 16-bit")
+    if depth in (1, 2, 4) and color not in (0, 3):
+        raise ValueError(f"PNG color type {color} cannot be {depth}-bit")
     ch = _PNG_COLOR_TYPES[color]
-    bpp = ch * (depth // 8)  # filter distance is in BYTES (spec 4.5.2)
-    stride = w * bpp
+    # filter distance is in BYTES, min 1 for sub-byte depths (spec 4.5.2)
+    bpp = max(1, ch * depth // 8)
+    stride = (w * ch * depth + 7) // 8  # rows pad to a byte boundary
     raw = zlib.decompress(bytes(idat))
 
     def to8(buf, ph, pw):
         if depth == 16:
             u16 = np.frombuffer(buf, dtype=">u2").reshape(ph, pw, ch)
             return (u16 >> 8).astype(np.uint8)
+        if depth < 8:  # sub-byte: samples pack MSB-first within a byte
+            pstride = (pw * depth + 7) // 8
+            bits = np.unpackbits(
+                np.frombuffer(buf, dtype=np.uint8).reshape(ph, pstride), axis=1
+            )
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+            vals = (
+                bits[:, : (pstride * 8 // depth) * depth]
+                .reshape(ph, -1, depth) * weights
+            ).sum(axis=2)[:, :pw]
+            if color == 0:  # gray: 255/(2^d - 1) is exact for d in 1,2,4
+                vals = vals * (255 // ((1 << depth) - 1))
+            return vals.astype(np.uint8).reshape(ph, pw, 1)
         return np.frombuffer(buf, dtype=np.uint8).reshape(ph, pw, ch)
 
     if interlace == 1:  # Adam7: 7 independently-filtered sub-images
@@ -247,7 +261,7 @@ def _decode_png_rgb(content: bytes):
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            pstride = pw * bpp
+            pstride = (pw * ch * depth + 7) // 8
             seg = raw[off : off + ph * (pstride + 1)]
             off += ph * (pstride + 1)
             arr[y0::dy, x0::dx] = to8(
@@ -293,8 +307,8 @@ def decode_and_resize(binary_df: DataFrame, width: int, height: int) -> DataFram
     Two execution paths, chosen per file inside the Arrow batch:
     - Pillow, when importable (any format it reads);
     - pure-stdlib+numpy decoders — always available — for uncompressed
-      24/32-bit BMP (BI_RGB), 8-bit non-interlaced PNG (zlib inflate +
-      scanline unfilter, gray/RGB/palette/alpha color types), and
+      24/32-bit BMP (BI_RGB), PNG at every legal depth (1/2/4/8/16-bit,
+      gray/RGB/palette/alpha, non-interlaced or Adam7), and
       baseline + progressive JPEG (functions/jpeg.py Huffman+IDCT),
       all with nearest-neighbor resize.
     A file neither path can decode raises NotImplementedError naming

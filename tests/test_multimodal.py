@@ -379,9 +379,8 @@ class TestPngDecode:
         got = _decode_one(spark, tmp_path, "a.png", make_real_png(px, 2), 2, 1)
         assert got == [255, 0, 0, 0, 0, 255]
 
-    def test_subbyte_depth_names_pillow(self, spark, tmp_path):
-        # Adam7 and 16-bit decode natively since r5; the remaining
-        # named PNG gap is sub-byte depths (1/2/4-bit)
+    def test_rgb_cannot_be_subbyte(self, spark, tmp_path):
+        # sub-byte depths are legal only for gray/palette (spec 11.2.2)
         data = make_real_png(self._pattern(2, 2, 3), 2)
         data = bytearray(data)
         data[8 + 8 + 8] = 4  # IHDR bit-depth byte
@@ -390,7 +389,7 @@ class TestPngDecode:
 
         data[8 + 8 + 13 : 8 + 8 + 17] = struct.pack(">I", _z.crc32(b"IHDR" + ihdr))
         (tmp_path / "d.png").write_bytes(bytes(data))
-        with pytest.raises(Exception, match="Pillow"):
+        with pytest.raises(Exception, match="cannot be 4-bit"):
             decode_and_resize(read_binary_dir(spark, str(tmp_path)), 2, 2).collect()
 
     def test_16bit_rgb_reduces_to_high_byte(self, spark, tmp_path):
@@ -758,6 +757,147 @@ class TestInterlacedPng:
             spark, tmp_path, "t.png", make_interlaced_png(pixels), 2, 2
         )
         assert got == [10, 20, 30, 40, 50, 60, 70, 80, 90, 5, 6, 7]
+
+
+def _pack_subbyte_row(vals, depth):
+    """Pack sample values (< 2^depth) MSB-first, padding to a byte."""
+    out = bytearray()
+    spb = 8 // depth
+    for i in range(0, len(vals), spb):
+        byte = 0
+        for j, v in enumerate(vals[i : i + spb]):
+            byte |= (v & ((1 << depth) - 1)) << (8 - depth * (j + 1))
+        out.append(byte)
+    return bytes(out)
+
+
+def _forward_filter_packed(packed_rows, filters):
+    """Forward-filter PACKED scanlines bytewise at distance 1 (the
+    spec's filter distance for sub-byte depths)."""
+    raw = bytearray()
+    prev = bytes(len(packed_rows[0])) if packed_rows else b""
+    for y, row in enumerate(packed_rows):
+        ft = filters[y % len(filters)]
+        raw.append(ft)
+        for x in range(len(row)):
+            a = row[x - 1] if x >= 1 else 0
+            b = prev[x]
+            c = prev[x - 1] if x >= 1 else 0
+            if ft == 0:
+                v = row[x]
+            elif ft == 1:
+                v = row[x] - a
+            elif ft == 2:
+                v = row[x] - b
+            elif ft == 3:
+                v = row[x] - ((a + b) >> 1)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                v = row[x] - (a if pa <= pb and pa <= pc else b if pb <= pc else c)
+            raw.append(v & 0xFF)
+        prev = row
+    return raw
+
+
+def make_subbyte_png(
+    samples, depth, color_type, palette=None, interlace=0, filters=(0, 1, 2, 3, 4)
+):
+    """Independent sub-byte (1/2/4-bit) PNG encoder: packs samples
+    MSB-first with per-row byte padding, forward-filters bytewise,
+    optionally Adam7-interlaced. ``samples`` is rows of ints."""
+    import zlib
+
+    h, w = len(samples), len(samples[0])
+    if interlace == 0:
+        raw = _forward_filter_packed(
+            [_pack_subbyte_row(r, depth) for r in samples], filters
+        )
+    else:
+        passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        raw = bytearray()
+        for x0, y0, dx, dy in passes:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows = [
+                [samples[y][x] for x in range(x0, w, dx)]
+                for y in range(y0, h, dy)
+            ]
+            raw += _forward_filter_packed(
+                [_pack_subbyte_row(r, depth) for r in rows], filters
+            )
+    png = b"\x89PNG\r\n\x1a\n" + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    )
+    if palette is not None:
+        png += _png_chunk(b"PLTE", b"".join(bytes(p) for p in palette))
+    png += _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return png + _png_chunk(b"IEND", b"")
+
+
+class TestSubbytePng:
+    """1/2/4-bit PNG decode (r6 — the last pure-Python still-image gap)
+    vs the independent bit-packing encoder above."""
+
+    def test_gray4_all_filters_odd_width(self, spark, tmp_path):
+        # w=5 exercises the padded final byte; 5 rows → filters 0..4
+        samples = [[(3 * y + 2 * x) % 16 for x in range(5)] for y in range(5)]
+        got = _decode_one(
+            spark, tmp_path, "g4.png", make_subbyte_png(samples, 4, 0), 5, 5
+        )
+        want = [v for row in samples for s in row for v in (s * 17,) * 3]
+        assert got == want
+
+    def test_gray2(self, spark, tmp_path):
+        samples = [[(y + x) % 4 for x in range(7)] for y in range(3)]
+        got = _decode_one(
+            spark, tmp_path, "g2.png", make_subbyte_png(samples, 2, 0), 7, 3
+        )
+        want = [v for row in samples for s in row for v in (s * 85,) * 3]
+        assert got == want
+
+    def test_gray1_bitmap(self, spark, tmp_path):
+        # 1-bit: a 10-wide checkerboard (2 bytes/row, 6 pad bits)
+        samples = [[(y + x) % 2 for x in range(10)] for y in range(4)]
+        got = _decode_one(
+            spark, tmp_path, "g1.png", make_subbyte_png(samples, 1, 0), 10, 4
+        )
+        want = [v for row in samples for s in row for v in (s * 255,) * 3]
+        assert got == want
+
+    def test_palette4(self, spark, tmp_path):
+        idx = [[0, 1, 2], [3, 2, 1], [1, 0, 3]]
+        got = _decode_one(
+            spark, tmp_path, "p4.png",
+            make_subbyte_png(idx, 4, 3, palette=PALETTE4), 3, 3,
+        )
+        assert got == [v for row in idx for i in row for v in PALETTE4[i]]
+
+    def test_palette2_adam7(self, spark, tmp_path):
+        # interlaced sub-byte: every pass re-packs and re-pads its own
+        # scanlines — 9x9 populates all 7 passes
+        idx = [[(y * 2 + x) % 4 for x in range(9)] for y in range(9)]
+        got = _decode_one(
+            spark, tmp_path, "p2i.png",
+            make_subbyte_png(idx, 2, 3, palette=PALETTE4, interlace=1), 9, 9,
+        )
+        assert got == [v for row in idx for i in row for v in PALETTE4[i]]
+
+    def test_gray1_adam7_matches_noninterlaced(self, spark, tmp_path):
+        samples = [[(x * y + x) % 2 for x in range(11)] for y in range(6)]
+        a = _decode_one(
+            spark, tmp_path, "a.png", make_subbyte_png(samples, 1, 0), 11, 6
+        )
+        sub = tmp_path / "i"
+        sub.mkdir()
+        b = _decode_one(
+            spark, sub, "b.png",
+            make_subbyte_png(samples, 1, 0, interlace=1), 11, 6,
+        )
+        assert a == b
 
 
 def make_partial_gif(frame_specs, w, h, palette=PALETTE4, bg_index=0):
