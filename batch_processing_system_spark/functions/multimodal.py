@@ -701,6 +701,90 @@ def _avi_mjpeg_frames(content: bytes):
     return frames
 
 
+MEDIA_DECODE_STATS_SCHEMA = (
+    "path string, kind string, width int, height int, "
+    "n_frames bigint, content_sha string"
+)
+
+
+def extract_decode_stats(binary_df: DataFrame) -> DataFrame:
+    """Full decode → deterministic per-file statistics, the
+    oracle-checkable face of the multimodal decoders (q99):
+
+    - still images (BMP / PNG any legal depth / baseline+progressive
+      JPEG): kind='image', (width, height), n_frames=1, sha256 of the
+      decoded (h, w, 3) RGB bytes;
+    - animated GIF and MJPEG-in-AVI: kind='video', first-frame
+      dimensions, n_frames = frame count, sha256 over the concatenated
+      composed-frame RGB bytes;
+    - WAV (integer PCM / IMA ADPCM): kind='audio', n_frames = decoded
+      mono sample count, sha256 of the float64 mono sample buffer.
+
+    ALWAYS the repo's pure decoders — never Pillow, even when
+    importable — so the digest is environment-independent. Arrow-batch
+    mapInPandas like every extractor here; scale note: one Python
+    crossing per batch, decode cost is per-byte of media and
+    embarrassingly parallel."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from .jpeg import decode_jpeg_rgb
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content) if content is not None else b""
+                if data[:6] in (b"GIF87a", b"GIF89a") or (
+                    data[:4] == b"RIFF" and data[8:12] == b"AVI "
+                ):
+                    frames = _gif_frames(data)
+                    if frames is None:
+                        frames = _avi_mjpeg_frames(data)
+                    dig = hashlib.sha256()
+                    for _, _, _, rgb in frames:
+                        dig.update(rgb)
+                    rows.append(
+                        (path, "video", frames[0][1], frames[0][2],
+                         len(frames), dig.hexdigest())
+                    )
+                elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                    decoded = _wav_pcm(data)
+                    if decoded is None:
+                        raise NotImplementedError(
+                            f"extract_decode_stats: {path!r} WAV format is "
+                            "not integer PCM or IMA ADPCM"
+                        )
+                    _, _, _, mono = decoded
+                    rows.append(
+                        (path, "audio", None, None, int(mono.size),
+                         hashlib.sha256(mono.tobytes()).hexdigest())
+                    )
+                else:
+                    rgb = _decode_bmp_rgb(data)
+                    if rgb is None:
+                        rgb = _decode_png_rgb(data)
+                    if rgb is None:
+                        rgb = decode_jpeg_rgb(data)
+                    if rgb is None:
+                        raise NotImplementedError(
+                            f"extract_decode_stats: {path!r} is not a BMP, "
+                            "PNG, Huffman JPEG, GIF, WAV, or MJPEG AVI"
+                        )
+                    rows.append(
+                        (path, "image", int(rgb.shape[1]), int(rgb.shape[0]),
+                         1, hashlib.sha256(rgb.tobytes()).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "kind", "width", "height", "n_frames", "content_sha"],
+            )
+
+    return binary_df.select("path", "content").mapInPandas(
+        stats, MEDIA_DECODE_STATS_SCHEMA
+    )
+
+
 VIDEO_FRAMES_SCHEMA = (
     "path string, frame_idx int, frame_ms bigint, width int, height int, "
     "frame_rgb binary"

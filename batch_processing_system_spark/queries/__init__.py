@@ -75,6 +75,7 @@ def _ensure_loaded() -> None:
         curation,
         packing,
         retrieval,
+        media,
     )
 
     _LOADED = True
