@@ -1,0 +1,163 @@
+"""Batch≡stream equality for the funnel and retention twins
+(streaming/journeys.py vs q95/q96): the sf0.001 event log is replayed
+in time-ordered waves through availableNow streams — each wave a
+separate run restarting from the checkpoint — and the final stores
+must equal the batch answers on the same data exactly."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_processing_system_spark.engine.io import load_table
+from batch_processing_system_spark.queries.temporal import q95_funnel, q96_retention
+from batch_processing_system_spark.streaming.journeys import (
+    retention_matrix,
+    run_funnel_stream,
+    run_retention_stream,
+)
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def waves_dir(spark, tmp_path_factory):
+    """sf0.001 events exported as wire-schema JSONL, split into three
+    time-ordered waves (wave boundaries on es, so per-user order is
+    preserved across waves — the funnel replay contract)."""
+    d = tmp_path_factory.mktemp("waves")
+    rows = (
+        load_table(spark, SF_SMALL, "events")
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_timestamp("ts").alias("es"),
+            F.unix_date(F.to_date(F.date_trunc("day", F.col("ts")))).alias("d"),
+        )
+        .orderBy("es", "event_id")
+        .collect()
+    )
+    n = len(rows)
+    assert n > 100
+    bounds = [0, n // 3, 2 * n // 3, n]
+    waves = []
+    for i in range(3):
+        path = d / f"wave{i}.jsonl"
+        path.write_text(
+            "\n".join(
+                json.dumps(
+                    {
+                        "user_id": r["user_id"],
+                        "event_id": r["event_id"],
+                        "event_type": r["event_type"],
+                        "es": r["es"],
+                        "d": r["d"],
+                    }
+                )
+                for r in rows[bounds[i] : bounds[i + 1]]
+            )
+            + "\n"
+        )
+        waves.append(str(path))
+    return d, waves
+
+
+def _replay(spark, waves, incoming, run_fn, store, ckpt):
+    """Feed waves one at a time; each wave is its own stream run, so
+    cross-wave state survival = checkpoint restart survival."""
+    import shutil
+
+    for w in waves:
+        shutil.copy(w, incoming)
+        q = run_fn(spark, str(incoming), str(store), str(ckpt)).start()
+        q.awaitTermination(120)
+
+
+class TestFunnelStream:
+    def test_matches_batch_q95(self, spark, tmp_path, waves_dir):
+        _, waves = waves_dir
+        incoming = tmp_path / "in"
+        incoming.mkdir()
+        store = tmp_path / "funnel_store"
+        _replay(
+            spark, waves, incoming, run_funnel_stream, store, tmp_path / "ckpt"
+        )
+        got = {
+            (r["user_id"], r["stage"], r["t1"], r["t2"], r["t3"])
+            for r in spark.read.parquet(str(store)).collect()
+        }
+        want = {
+            (r["user_id"], r["stage"], r["t1"], r["t2"], r["t3"])
+            for r in q95_funnel(spark, SF_SMALL).collect()
+        }
+        assert got == want
+
+    def test_mid_stream_states_are_prefix_answers(self, spark, tmp_path, waves_dir):
+        # after one wave, every user's stage must be <= their final
+        # stage (the automaton only advances)
+        _, waves = waves_dir
+        incoming = tmp_path / "in"
+        incoming.mkdir()
+        store = tmp_path / "funnel_store"
+        _replay(
+            spark, waves[:1], incoming, run_funnel_stream, store, tmp_path / "ckpt"
+        )
+        partial = {
+            r["user_id"]: r["stage"]
+            for r in spark.read.parquet(str(store)).collect()
+        }
+        final = {
+            r["user_id"]: r["stage"]
+            for r in q95_funnel(spark, SF_SMALL).collect()
+        }
+        assert partial  # wave 1 touched users
+        assert all(stage <= final[u] for u, stage in partial.items())
+
+
+class TestRetentionStream:
+    def test_matches_batch_q96(self, spark, tmp_path, waves_dir):
+        _, waves = waves_dir
+        incoming = tmp_path / "in"
+        incoming.mkdir()
+        store = tmp_path / "ret_store"
+        _replay(
+            spark, waves, incoming, run_retention_stream, store, tmp_path / "ckpt"
+        )
+        got = {
+            (str(r["cohort_day"]), r["offset_days"], r["n_users"])
+            for r in retention_matrix(spark.read.parquet(str(store))).collect()
+        }
+        want = {
+            (str(r["cohort_day"]), r["offset_days"], r["n_users"])
+            for r in q96_retention(spark, SF_SMALL).collect()
+        }
+        assert got == want
+
+    def test_out_of_order_waves_still_match(self, spark, tmp_path, waves_dir):
+        # retention state keeps the full day set, so REVERSED wave
+        # order (late early-days) must still converge to the batch
+        # answer — cohort assignments get revised, not frozen
+        _, waves = waves_dir
+        incoming = tmp_path / "in"
+        incoming.mkdir()
+        store = tmp_path / "ret_store"
+        _replay(
+            spark,
+            list(reversed(waves)),
+            incoming,
+            run_retention_stream,
+            store,
+            tmp_path / "ckpt",
+        )
+        got = {
+            (str(r["cohort_day"]), r["offset_days"], r["n_users"])
+            for r in retention_matrix(spark.read.parquet(str(store))).collect()
+        }
+        want = {
+            (str(r["cohort_day"]), r["offset_days"], r["n_users"])
+            for r in q96_retention(spark, SF_SMALL).collect()
+        }
+        assert got == want

@@ -44,10 +44,33 @@ def build_10x(spark) -> None:
     if os.path.exists(OUT_DIR):
         shutil.rmtree(OUT_DIR)
     os.makedirs(OUT_DIR)
-    for t in ("region", "nation", "part", "supplier", "embeddings"):
+    for t in ("region", "nation", "part", "supplier"):
         src = os.path.join(SF_DIR, f"{t}.parquet")
         if os.path.exists(src):
             shutil.copy(src, os.path.join(OUT_DIR, f"{t}.parquet"))
+
+    # embeddings: replica i rolls each vector by i dimensions — within
+    # a replica the similarity structure is identical to sf0.1, across
+    # replicas rolled vectors decorrelate (the embedding analogue of
+    # the word-prefix trick for documents), so ANN/semantic-dedup work
+    # grows linearly in replicas instead of quadratically colliding
+    emb = load_table(spark, SF_DIR, "embeddings")
+    reps = []
+    for i in range(REPLICAS):
+        r = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        if i:
+            r = r.withColumn(
+                "embedding",
+                F.expr(
+                    f"concat(slice(embedding, {i + 1}, size(embedding) - {i}), "
+                    f"slice(embedding, 1, {i}))"
+                ),
+            )
+        reps.append(r)
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionAll(r)
+    out.write.mode("overwrite").parquet(os.path.join(OUT_DIR, "embeddings.parquet"))
 
     for t, (keys, stride) in KEY_OFFSETS.items():
         df = load_table(spark, SF_DIR, t)
