@@ -458,6 +458,25 @@ def _wav_pcm(content: bytes):
     return sample_rate, channels, bits, mono
 
 
+def _audio_mono(data: bytes):
+    """Dispatch audio decode: integer-PCM / IMA-ADPCM WAV, or native
+    FLAC (functions/flac.py, r6). Returns (sample_rate, channels,
+    bits, float64 mono in [-1, 1]) or None if the format is neither."""
+    import numpy as np
+
+    dec = _wav_pcm(data)
+    if dec is not None:
+        return dec
+    if data[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        sr, ch, bits, samples = decode_flac(data)
+        x = samples.astype(np.float64) / float(1 << (bits - 1))
+        n = (len(x) // ch) * ch
+        return sr, ch, bits, x[:n].reshape(-1, ch).mean(axis=1)
+    return None
+
+
 AUDIO_FEATURES_SCHEMA = (
     "path string, sample_rate int, channels int, bits int, "
     "n_samples bigint, duration_ms bigint, rms double, peak double, "
@@ -466,9 +485,10 @@ AUDIO_FEATURES_SCHEMA = (
 
 
 def extract_audio_features(binary_df: DataFrame) -> DataFrame:
-    """REAL audio decode (no stub): integer-PCM and IMA-ADPCM WAV →
-    per-file signal features via one Arrow crossing per batch. Other
-    compressed audio (mp3/aac/ogg) raises NotImplementedError naming
+    """REAL audio decode (no stub): integer-PCM / IMA-ADPCM WAV and
+    native FLAC (lossless, decoded exactly by functions/flac.py) →
+    per-file signal features via one Arrow crossing per batch.
+    Perceptual codecs (mp3/aac/ogg) raise NotImplementedError naming
     the codec gap. The mono mix, RMS, peak and zero-crossing count are
     the standard cheap speech/music screens of an audio training-data
     pipeline; at 100 TB this is a map-only pass over the binary
@@ -480,13 +500,13 @@ def extract_audio_features(binary_df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                dec = _wav_pcm(bytes(content) if content is not None else b"")
+                dec = _audio_mono(bytes(content) if content is not None else b"")
                 if dec is None:
                     raise NotImplementedError(
-                        f"extract_audio_features: {path!r} is not integer-PCM "
-                        "or IMA-ADPCM WAV; other compressed audio (mp3/aac/"
-                        "ogg) needs a codec library (e.g. soundfile/ffmpeg), "
-                        "not installed here"
+                        f"extract_audio_features: {path!r} is not integer-PCM/"
+                        "IMA-ADPCM WAV or native FLAC; perceptual audio (mp3/"
+                        "aac/ogg) needs a codec library (e.g. soundfile/"
+                        "ffmpeg), not installed here"
                     )
                 sr, ch, bits, mono = dec
                 n = int(mono.size)
@@ -748,8 +768,10 @@ def extract_decode_stats(binary_df: DataFrame) -> DataFrame:
                         (path, "video", frames[0][1], frames[0][2],
                          len(frames), dig.hexdigest())
                     )
-                elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
-                    decoded = _wav_pcm(data)
+                elif (
+                    data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+                ) or data[:4] == b"fLaC":
+                    decoded = _audio_mono(data)
                     if decoded is None:
                         raise NotImplementedError(
                             f"extract_decode_stats: {path!r} WAV format is "

@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from tests._flac_encoder import encode_flac
 from tests._jpeg_encoder import encode_color, encode_color_progressive
 from tests.test_multimodal import (
     PALETTE4,
@@ -140,6 +141,15 @@ def build_fixtures() -> dict[str, bytes]:
         "fx12_pcm.wav": make_sine_wav(8000, 1, 300, 0.4),
         "fx13_adpcm.wav": make_adpcm_wav([sine, sine], sample_rate=8000),
         "fx14_mjpeg.avi": avi,
+        "fx15_stereo.flac": encode_flac(
+            [sine[:4000], [-s for s in sine[:4000]]],
+            sample_rate=8000,
+            stereo_mode="mid_side",
+            plans=[
+                {"kind": "fixed", "order": 2, "partition_order": 2},
+                {"kind": "lpc", "order": 3, "coefs": [3, -3, 1], "shift": 1},
+            ],
+        ),
     }
 
 
@@ -156,11 +166,11 @@ def main() -> None:
 
     from batch_processing_system_spark.functions.jpeg import decode_jpeg_rgb
     from batch_processing_system_spark.functions.multimodal import (
+        _audio_mono,
         _avi_mjpeg_frames,
         _decode_bmp_rgb,
         _decode_png_rgb,
         _gif_frames,
-        _wav_pcm,
     )
 
     print("\n-- pinned oracle rows (paste into queries/media.py):")
@@ -173,8 +183,8 @@ def main() -> None:
             for _, _, _, rgb in frames:
                 dig.update(rgb)
             row = (name, "video", frames[0][1], frames[0][2], len(frames), dig.hexdigest())
-        elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
-            _, _, _, mono = _wav_pcm(data)
+        elif (data[:4] == b"RIFF" and data[8:12] == b"WAVE") or data[:4] == b"fLaC":
+            _, _, _, mono = _audio_mono(data)
             row = (name, "audio", None, None, int(mono.size),
                    hashlib.sha256(mono.tobytes()).hexdigest())
         else:
