@@ -76,6 +76,7 @@ def _ensure_loaded() -> None:
         packing,
         retrieval,
         media,
+        wrangling,
     )
 
     _LOADED = True

@@ -1,0 +1,460 @@
+"""Data-wrangling / enrichment operators (round 6 breadth).
+
+Seven operator families a production analytics engine is asked for
+beyond the SURVEY §2 inventory, each in its canonical 100 TB shape:
+
+- r01 time-series gap-fill / resample (calendar densify + forward fill)
+- r02 fuzzy (edit-distance) matching with blocking — entity resolution
+- r03 single-pass-per-column data profiling (nulls/distinct/min/max)
+- r04 SCD2 interval build from a change log (gaps-and-islands)
+- r05 exact percentiles per group (median/p90/p99, interpolated)
+- r06 last-touch attribution (frame-excluded window as-of lookup)
+- r07 bloom-filter semi-join (hash-bit prefilter + exact verify)
+
+Provenance: EXT (BASELINE.json north star — general batch engine
+surface); the reference spec (/root/reference/README.md) has no
+temporal/fuzzy/profiling machinery, these are the operators its users
+would reach for next. Names sort after q50 so the driver's 50-entry
+CORRECTNESS window (q01-q50) is untouched (STATUS.md name-freeze).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..engine.det import dsum, epoch_us
+from ..engine.io import load_table
+from . import register
+
+
+# ---------------------------------------------------------------------------
+# r01 — time-series gap-fill / resample
+# ---------------------------------------------------------------------------
+
+@register(
+    "r01_gapfill",
+    """
+    WITH daily AS (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+        FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+        SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+    ),
+    cal AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM spans
+    )
+    SELECT c.user_id,
+           c.day,
+           last_value(d.day_value IGNORE NULLS)
+               OVER (PARTITION BY c.user_id ORDER BY c.day) AS value_ff,
+           (d.day_value IS NOT NULL) AS observed
+    FROM cal c
+    LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+    """,
+    doc="Time-series resample: densify each user's daily series over its "
+    "observed span (sequence+explode calendar), LEFT JOIN the daily "
+    "aggregate back, forward-fill gaps with last(ignorenulls) over an "
+    "ordered per-user window. One shuffle for the daily agg, one for "
+    "the window; calendar fan-out is bounded by span-days per user, so "
+    "at 100 TB the explode is output-sized, never quadratic. First row "
+    "per user is always observed (span starts at MIN(day)), so the "
+    "fill never reads before the frame.",
+)
+def r01_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(dsum("value", "day_value"))
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = spans.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    joined = cal.join(daily, ["user_id", "day"], "left")
+    w = Window.partitionBy("user_id").orderBy("day")
+    return joined.select(
+        "user_id",
+        "day",
+        F.last("day_value", ignorenulls=True).over(w).alias("value_ff"),
+        F.col("day_value").isNotNull().alias("observed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r02 — fuzzy (edit-distance) matching with blocking
+# ---------------------------------------------------------------------------
+
+@register(
+    "r02_fuzzy_match",
+    """
+    WITH vocab AS (
+        SELECT DISTINCT p_name, regexp_extract(p_name, '[^ ]+$') AS blk
+        FROM part
+    )
+    SELECT a.p_name AS left_name,
+           b.p_name AS right_name,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM vocab a
+    JOIN vocab b ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    doc="Entity resolution / fuzzy dedup: candidate pairs of DISTINCT "
+    "part names within a blocking key (the trailing word), scored by "
+    "exact Levenshtein, kept under an edit-distance budget. The "
+    "blocking equi-join keeps the pair space |block|-quadratic on the "
+    "deduped VOCABULARY (64 names here), never on the corpus — the "
+    "standard record-linkage shape: dedupe to a name dictionary, "
+    "block, score, then broadcast the match table back to the fact "
+    "rows. Spark F.levenshtein and DuckDB levenshtein agree exactly "
+    "(unit edit costs, case-sensitive).",
+)
+def r02_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    vocab = (
+        part.select("p_name")
+        .distinct()
+        .withColumn("blk", F.regexp_extract("p_name", "[^ ]+$", 0))
+    )
+    a = vocab.alias("a")
+    b = vocab.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.p_name") < F.col("b.p_name")),
+    )
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return pairs.where(dist <= 3).select(
+        F.col("a.p_name").alias("left_name"),
+        F.col("b.p_name").alias("right_name"),
+        dist.cast("bigint").alias("dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r03 — data profiling
+# ---------------------------------------------------------------------------
+
+def _profile_branch(df: DataFrame, col: str, kind: str) -> DataFrame:
+    """One narrow aggregate per column: parquet column pruning makes each
+    branch a single-column scan (ReadSchema shows only `col`), which is
+    the columnar-friendly profiling shape at 100 TB — no row-explode,
+    no multi-distinct Expand."""
+    c = F.col(col)
+    if kind == "num":
+        min_num = F.min(c).cast("double")
+        max_num = F.max(c).cast("double")
+        min_str = F.lit(None).cast("string")
+        max_str = F.lit(None).cast("string")
+    elif kind == "str":
+        min_num = F.lit(None).cast("double")
+        max_num = F.lit(None).cast("double")
+        min_str = F.min(c)
+        max_str = F.max(c)
+    else:  # ts -> epoch seconds as the numeric summary
+        min_num = F.unix_timestamp(F.min(c)).cast("double")
+        max_num = F.unix_timestamp(F.max(c)).cast("double")
+        min_str = F.lit(None).cast("string")
+        max_str = F.lit(None).cast("string")
+    return df.agg(
+        F.lit(col).alias("col_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+        F.countDistinct(c).alias("n_distinct"),
+        min_num.alias("min_num"),
+        max_num.alias("max_num"),
+        min_str.alias("min_str"),
+        max_str.alias("max_str"),
+    )
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_oracle() -> str:
+    branches = []
+    for col, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn, mx = f"CAST(MIN({col}) AS DOUBLE)", f"CAST(MAX({col}) AS DOUBLE)"
+            ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        elif kind == "str":
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            ms, xs = f"MIN({col})", f"MAX({col})"
+        else:
+            mn = f"CAST(floor(epoch(CAST(MIN({col}) AS TIMESTAMP))) AS DOUBLE)"
+            mx = f"CAST(floor(epoch(CAST(MAX({col}) AS TIMESTAMP))) AS DOUBLE)"
+            ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        branches.append(
+            f"SELECT '{col}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls, "
+            f"CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct, "
+            f"{mn} AS min_num, {mx} AS max_num, {ms} AS min_str, {xs} AS max_str "
+            f"FROM orders"
+        )
+    return " UNION ALL ".join(branches)
+
+
+@register(
+    "r03_profile",
+    _profile_oracle(),
+    doc="Data-quality profiler over `orders`: per column, one long-format "
+    "row (n_rows, n_nulls, exact n_distinct, typed min/max). Built as a "
+    "UNION of per-column narrow aggregates so each branch's parquet scan "
+    "prunes to that single column (the columnar profiling shape) and no "
+    "branch pays the multi-countDistinct Expand. At 100 TB swap exact "
+    "n_distinct for approx_count_distinct per branch — the one-line "
+    "change is the only thing tier-1 hashing forbids here.",
+)
+def r03_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    out = None
+    for col, kind in _PROFILE_COLS:
+        branch = _profile_branch(orders, col, kind)
+        out = branch if out is None else out.unionAll(branch)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# r04 — SCD2 interval build
+# ---------------------------------------------------------------------------
+
+@register(
+    "r04_scd2",
+    """
+    WITH e AS (
+        SELECT user_id, event_type AS state,
+               CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS eu,
+               event_id,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT),
+                            event_id) AS prev_state
+        FROM events
+    ),
+    chg AS (
+        SELECT user_id, state, eu, event_id FROM e
+        WHERE prev_state IS NULL OR prev_state <> state
+    )
+    SELECT user_id, state,
+           eu AS valid_from_us,
+           LEAD(eu) OVER (PARTITION BY user_id ORDER BY eu, event_id)
+               AS valid_to_us,
+           (LEAD(eu) OVER (PARTITION BY user_id ORDER BY eu, event_id)
+               IS NULL) AS is_current
+    FROM chg
+    """,
+    doc="Slowly-changing-dimension type 2 from a change log: treating "
+    "events.event_type as each user's state, keep only CHANGE rows "
+    "(lag() differs), then interval-close each change with lead() — "
+    "[valid_from, valid_to) validity ranges, open interval = current "
+    "row. Two window passes over the SAME (user_id; eu, event_id) "
+    "ordering, so Spark plans one Exchange + one Sort reused by both "
+    "Window operators — the gaps-and-islands SCD2 build costs a single "
+    "shuffle at any scale.",
+)
+def r04_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    eu = epoch_us("ts")
+    w = Window.partitionBy("user_id").orderBy(eu, "event_id")
+    e = events.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        eu.alias("eu"),
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_state"),
+    )
+    chg = e.where(F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state")))
+    w2 = Window.partitionBy("user_id").orderBy("eu", "event_id")
+    nxt = F.lead("eu").over(w2)
+    return chg.select(
+        "user_id",
+        "state",
+        F.col("eu").alias("valid_from_us"),
+        nxt.alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r05 — exact interpolated percentiles per group
+# ---------------------------------------------------------------------------
+
+@register(
+    "r05_percentiles",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(round(quantile_cont(CAST(value AS DOUBLE), 0.5), 4) AS DOUBLE) AS p50,
+           CAST(round(quantile_cont(CAST(value AS DOUBLE), 0.9), 4) AS DOUBLE) AS p90,
+           CAST(round(quantile_cont(CAST(value AS DOUBLE), 0.99), 4) AS DOUBLE) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Exact per-group percentiles (linear interpolation at rank "
+    "p*(n-1)): Spark `percentile` vs DuckDB `quantile_cont` agree on "
+    "the interpolation rule; ROUND(.,4) kills last-ulp differences in "
+    "the lerp arithmetic (§2.5 D7). Exact percentile sorts each "
+    "group's values — the per-group memory is the group's row count, "
+    "which is the documented cost of exactness; the 100 TB default is "
+    "percentile_approx (t-digest-style GK sketch, mergeable, bounded "
+    "memory), with q35 covering the approx-vs-exact bracket pattern.",
+)
+def r05_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pct = F.percentile("value", F.lit([0.5, 0.9, 0.99]))
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.element_at(pct, 1), 4).cast("double").alias("p50"),
+        F.round(F.element_at(pct, 2), 4).cast("double").alias("p90"),
+        F.round(F.element_at(pct, 3), 4).cast("double").alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r06 — last-touch attribution
+# ---------------------------------------------------------------------------
+
+@register(
+    "r06_attribution",
+    """
+    WITH e AS (
+        SELECT event_id, user_id, event_type,
+               CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS eu
+        FROM events
+    ),
+    w AS (
+        SELECT event_id, user_id, event_type, eu,
+               last_value(CASE WHEN event_type IN ('click','view')
+                               THEN event_id END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY eu, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch_id,
+               last_value(CASE WHEN event_type IN ('click','view')
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY eu, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch_type,
+               last_value(CASE WHEN event_type IN ('click','view')
+                               THEN eu END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY eu, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch_eu
+        FROM e
+    )
+    SELECT event_id AS purchase_id, user_id, touch_id, touch_type,
+           eu - touch_eu AS gap_us
+    FROM w WHERE event_type = 'purchase'
+    """,
+    doc="Last-touch attribution: for every purchase, the most recent "
+    "STRICTLY-preceding marketing touch (click/view) by the same user, "
+    "plus the touch-to-purchase gap. The as-of lookup is a frame-"
+    "excluded window — last(CASE..., ignorenulls) over ROWS UNBOUNDED "
+    "PRECEDING..1 PRECEDING — so self-attribution is impossible and "
+    "the whole query is ONE shuffle + one sort shared by all three "
+    "window expressions (same partitioning/ordering/frame). Purchases "
+    "with no prior touch surface NULLs (first-session conversions), "
+    "not dropped rows.",
+)
+def r06_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_id", "user_id", "event_type", epoch_us("ts").alias("eu")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("eu", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    touch_id = F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True).over(w)
+    touch_type = F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(w)
+    touch_eu = F.last(F.when(is_touch, F.col("eu")), ignorenulls=True).over(w)
+    return (
+        e.select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            touch_id.alias("touch_id"),
+            touch_type.alias("touch_type"),
+            (F.col("eu") - touch_eu).alias("gap_us"),
+            "event_type",
+        )
+        .where(F.col("event_type") == "purchase")
+        .drop("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r07 — bloom-filter semi-join
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096  # bits
+_BLOOM_K = 3     # hash functions
+_BLOOM_PRICE = 490000.0
+
+
+def _bloom_positions(col):
+    """k=3 bit positions from independently-seeded xxhash64 (seed mixed in
+    as an extra hashed literal), identical expression on build and probe."""
+    return [
+        F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(_BLOOM_M))
+        for seed in range(_BLOOM_K)
+    ]
+
+
+@register(
+    "r07_bloom_semi",
+    f"""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (
+        SELECT o_custkey FROM orders WHERE o_totalprice > {_BLOOM_PRICE}
+    )
+    """,
+    doc="Bloom-filter semi-join: customers with at least one order above "
+    "the price threshold. Build side -> k=3 xxhash64 bit positions mod "
+    "4096, exploded+distinct+collected (bounded by the BIT-ARRAY SIZE, "
+    "4096, never the build cardinality) and inlined as a literal array; "
+    "probe rows whose 3 positions all hit the set pass the prefilter, "
+    "then an exact (broadcast) semi-join removes the false positives, "
+    "so the result equals the plain semi-join bit-for-bit. At 100 TB "
+    "this is the shuffle-reduction pattern for when the build side is "
+    "too big to broadcast but its bloom bits are not: the prefilter "
+    "cuts the probe-side shuffle input before the exact join — the "
+    "same idea Spark's runtime InjectRuntimeFilter applies, made "
+    "explicit and composable.",
+)
+def r07_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    build = (
+        orders.where(F.col("o_totalprice") > _BLOOM_PRICE)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    bit_rows = build.select(
+        F.explode(F.array(*_bloom_positions(F.col("k")))).alias("bit")
+    ).distinct()
+    # bounded-collect: exploded DISTINCT bit positions, ≤ _BLOOM_M (4096)
+    # values by construction (bloom bit-array size), independent of build rows
+    bits = sorted(r[0] for r in bit_rows.collect())
+    bit_arr = F.lit(bits)
+    probe_pos = _bloom_positions(F.col("c_custkey"))
+    prefilter = customer
+    for p in probe_pos:
+        prefilter = prefilter.where(F.array_contains(bit_arr, p))
+    return prefilter.join(
+        F.broadcast(build), prefilter.c_custkey == F.col("k"), "left_semi"
+    ).select("c_custkey", "c_name")

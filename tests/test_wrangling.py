@@ -1,0 +1,217 @@
+"""Planted-data semantics tests for the round-6 wrangling operators
+(queries/wrangling.py r01-r07). The oracle harness proves Spark==DuckDB
+on the synthetic tables; these prove the SEMANTICS are the intended ones
+on hand-built corner cases (gaps, repeated states, first-session
+conversions, bloom false positives, known edit distances, real nulls)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from batch_processing_system_spark.queries.wrangling import (
+    _BLOOM_PRICE,
+    r01_gapfill,
+    r02_fuzzy_match,
+    r03_profile,
+    r04_scd2,
+    r05_percentiles,
+    r06_attribution,
+    r07_bloom_semi,
+)
+
+EVENT_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def _ts(day: int, h: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day, h, 0, 0)
+
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+class TestGapfill:
+    ROWS = [
+        # user 1: days 1, 4 observed -> days 2,3 forward-filled from day 1
+        (1, _ts(1), 1, "view", 10.0, "{}"),
+        (2, _ts(1, 6), 1, "view", 2.5, "{}"),
+        (3, _ts(4), 1, "click", 7.0, "{}"),
+        # user 2: single day -> single row, no fill
+        (4, _ts(9), 2, "view", 3.0, "{}"),
+    ]
+
+    def test_fill_semantics(self, spark, tmp_path):
+        sf = _write_events(spark, tmp_path, self.ROWS)
+        out = {(r["user_id"], r["day"]): r for r in r01_gapfill(spark, sf).collect()}
+        assert len(out) == 5  # u1 days 1-4, u2 day 9
+        d = dt.date
+        assert out[(1, d(2024, 1, 1))]["value_ff"] == pytest.approx(12.5)
+        assert out[(1, d(2024, 1, 1))]["observed"] is True
+        # gap days carry the previous observed value
+        for gap_day in (2, 3):
+            row = out[(1, d(2024, 1, gap_day))]
+            assert row["value_ff"] == pytest.approx(12.5)
+            assert row["observed"] is False
+        assert out[(1, d(2024, 1, 4))]["value_ff"] == pytest.approx(7.0)
+        assert out[(2, d(2024, 1, 9))]["observed"] is True
+
+
+class TestScd2:
+    ROWS = [
+        # user 1: view,view,click,view -> 3 intervals (consecutive dups merge)
+        (1, _ts(1), 1, "view", 0.0, "{}"),
+        (2, _ts(2), 1, "view", 0.0, "{}"),
+        (3, _ts(3), 1, "click", 0.0, "{}"),
+        (4, _ts(4), 1, "view", 0.0, "{}"),
+    ]
+
+    def test_intervals(self, spark, tmp_path):
+        sf = _write_events(spark, tmp_path, self.ROWS)
+        rows = sorted(
+            r04_scd2(spark, sf).collect(), key=lambda r: r["valid_from_us"]
+        )
+        assert [r["state"] for r in rows] == ["view", "click", "view"]
+        # intervals tile: each valid_to equals the next valid_from
+        assert rows[0]["valid_to_us"] == rows[1]["valid_from_us"]
+        assert rows[1]["valid_to_us"] == rows[2]["valid_from_us"]
+        assert rows[2]["valid_to_us"] is None and rows[2]["is_current"] is True
+        assert all(r["is_current"] is False for r in rows[:2])
+
+
+class TestAttribution:
+    ROWS = [
+        # user 1: view(t1) click(t2) purchase(t3) purchase(t4)
+        #   -> both purchases attribute to the click (latest preceding touch)
+        (1, _ts(1, 1), 1, "view", 0.0, "{}"),
+        (2, _ts(1, 2), 1, "click", 0.0, "{}"),
+        (3, _ts(1, 3), 1, "purchase", 0.0, "{}"),
+        (4, _ts(1, 4), 1, "purchase", 0.0, "{}"),
+        # user 2: purchase with NO prior touch -> NULL attribution row kept
+        (5, _ts(2), 2, "purchase", 0.0, "{}"),
+        # user 3: touch AFTER the purchase must not attribute
+        (6, _ts(3, 5), 3, "purchase", 0.0, "{}"),
+        (7, _ts(3, 6), 3, "click", 0.0, "{}"),
+    ]
+
+    def test_last_touch(self, spark, tmp_path):
+        sf = _write_events(spark, tmp_path, self.ROWS)
+        out = {r["purchase_id"]: r for r in r06_attribution(spark, sf).collect()}
+        assert set(out) == {3, 4, 5, 6}
+        assert out[3]["touch_id"] == 2 and out[3]["touch_type"] == "click"
+        assert out[4]["touch_id"] == 2  # purchase at t3 is not a touch
+        assert out[3]["gap_us"] == 3600 * 10**6
+        assert out[5]["touch_id"] is None and out[5]["gap_us"] is None
+        assert out[6]["touch_id"] is None  # later touch never attributes
+
+
+class TestFuzzyMatch:
+    def test_known_distances(self, spark, tmp_path):
+        rows = [
+            (1, "cold widget", "Brand#1", "X"),
+            (2, "bold widget", "Brand#1", "X"),   # dist 1 from cold widget
+            (3, "colder widget", "Brand#1", "X"), # dist 2 from cold widget
+            (4, "cold gizmo", "Brand#1", "X"),    # different block
+            (5, "completely different widget", "Brand#1", "X"),  # > 3
+            (6, "cold widget", "Brand#2", "X"),   # duplicate name, deduped
+        ]
+        spark.createDataFrame(
+            rows, "p_partkey bigint, p_name string, p_brand string, p_type string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+        out = {
+            (r["left_name"], r["right_name"]): r["dist"]
+            for r in r02_fuzzy_match(spark, str(tmp_path)).collect()
+        }
+        assert out == {
+            ("bold widget", "cold widget"): 1,
+            ("bold widget", "colder widget"): 3,
+            ("cold widget", "colder widget"): 2,
+        }
+
+
+class TestProfile:
+    def test_null_accounting(self, spark, tmp_path):
+        rows = [
+            (1, 10, "O", 5.0, _ts(1), "HIGH"),
+            (2, None, "F", None, _ts(2), "LOW"),
+            (3, 10, None, 7.5, None, None),
+        ]
+        spark.createDataFrame(
+            rows,
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        out = {r["col_name"]: r for r in r03_profile(spark, str(tmp_path)).collect()}
+        assert set(out) == {
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority",
+        }
+        assert all(r["n_rows"] == 3 for r in out.values())
+        assert out["o_custkey"]["n_nulls"] == 1
+        assert out["o_custkey"]["n_distinct"] == 1
+        assert out["o_totalprice"]["min_num"] == 5.0
+        assert out["o_totalprice"]["max_num"] == 7.5
+        assert out["o_orderstatus"]["min_str"] == "F"
+        assert out["o_orderstatus"]["max_str"] == "O"
+        assert out["o_orderstatus"]["min_num"] is None
+        # timestamp summarised as epoch seconds
+        assert out["o_orderdate"]["min_num"] == _ts(1).replace(
+            tzinfo=dt.timezone.utc
+        ).timestamp()
+
+
+class TestBloomSemi:
+    def test_equals_exact_semi_join(self, spark, tmp_path):
+        # 200 customers, a handful with qualifying orders; the bloom
+        # prefilter may pass false positives — the exact verify must
+        # remove every one (result == plain semi-join).
+        customers = [(k, f"Customer#{k:09d}", 0, 0.0, "SEG") for k in range(200)]
+        spark.createDataFrame(
+            customers,
+            "c_custkey bigint, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "customer.parquet")
+        )
+        qualifying = {3, 77, 150}
+        orders = [
+            (i, k, "O", _BLOOM_PRICE + 1.0, _ts(1), "HIGH")
+            for i, k in enumerate(sorted(qualifying))
+        ] + [(99, 5, "O", 1.0, _ts(1), "LOW")]  # below threshold
+        spark.createDataFrame(
+            orders,
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        got = {r["c_custkey"] for r in r07_bloom_semi(spark, str(tmp_path)).collect()}
+        assert got == qualifying
+
+
+class TestPercentileMargins:
+    def test_rounding_margin_at_sf001(self, spark):
+        """The 4dp ROUND is only hash-safe if no true percentile sits
+        within double-noise of a .00005 boundary (q89's margin
+        pattern). Measure the worst margin on the real sf0.001 table."""
+        import duckdb
+
+        rows = duckdb.sql(
+            """
+            SELECT quantile_cont(CAST(value AS DOUBLE), 0.5),
+                   quantile_cont(CAST(value AS DOUBLE), 0.9),
+                   quantile_cont(CAST(value AS DOUBLE), 0.99)
+            FROM read_parquet('/root/testdata/sf0.001/events.parquet')
+            GROUP BY event_type
+            """
+        ).fetchall()
+        vals = [v for row in rows for v in row]
+        worst = min(abs(v * 10**4 - round(v * 10**4) - 0.5) for v in vals)
+        # distance of scaled value to the nearest x.5 rounding boundary;
+        # anything >> 1e-9 dwarfs cross-engine lerp noise (~1e-12 scaled)
+        assert worst > 1e-6
