@@ -458,3 +458,58 @@ def r07_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefilter.join(
         F.broadcast(build), prefilter.c_custkey == F.col("k"), "left_semi"
     ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# r10 — weighted sampling without replacement (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+_WS_SEED = "wsample1"
+_WS_K = 100
+
+
+@register(
+    "r10_weighted_sample",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               -ln(
+                   (('0x' || substr(md5(concat('{_WS_SEED}',
+                        CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT + 1)
+                   / 4294967296.0
+               ) / n_chars AS skey
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars
+    FROM keyed ORDER BY skey, doc_id LIMIT {_WS_K}
+    """,
+    doc="Weighted sampling without replacement (Efraimidis–Spirakis "
+    "A-ES, public algorithm): per doc a seeded md5-prefix uniform "
+    "u∈(0,1], sort key -ln(u)/w with w = n_chars, keep the k smallest "
+    "— an exact-k sample where inclusion probability is proportional "
+    "to weight, the importance-sampling shape for training-mix "
+    "construction. Deterministic (no rand(): the draw is a hash of "
+    "doc_id), map-side key computation, and the top-k plans as "
+    "TakeOrderedAndProject (per-partition heaps + driver merge of k "
+    "rows), never a global sort — the O(k)-driver-memory shape at any "
+    "corpus size. Floats never reach the output (the hash compares "
+    "the selected SET); the k-boundary margin is pinned in "
+    "tests/test_wrangling.py.",
+)
+def r10_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(_WS_SEED), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (prefix + 1) / F.lit(4294967296.0)
+    skey = -F.log(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "source", "n_chars", skey.alias("skey"))
+        .orderBy("skey", "doc_id")
+        .limit(_WS_K)
+        .select("doc_id", "source", "n_chars")
+    )

@@ -194,6 +194,69 @@ class TestBloomSemi:
         assert got == qualifying
 
 
+class TestWeightedSample:
+    @staticmethod
+    def _python_reference(sf_dir):
+        """Independent driver-side computation of the A-ES selection
+        (hashlib md5, math.log) — no Spark/DuckDB expressions."""
+        import hashlib
+        import math
+
+        import duckdb
+
+        rows = duckdb.sql(
+            f"SELECT doc_id, source, n_chars FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+        keyed = []
+        for doc_id, source, n_chars in rows:
+            h = hashlib.md5(f"wsample1{doc_id}".encode()).hexdigest()[:8]
+            u = (int(h, 16) + 1) / 4294967296.0
+            keyed.append((-math.log(u) / n_chars, doc_id, source, n_chars))
+        keyed.sort(key=lambda t: (t[0], t[1]))
+        return keyed
+
+    def test_matches_python_reference(self, spark):
+        from batch_processing_system_spark.queries.wrangling import (
+            _WS_K,
+            r10_weighted_sample,
+        )
+
+        keyed = self._python_reference("/root/testdata/sf0.001")
+        want = {(d, s, n) for _, d, s, n in keyed[:_WS_K]}
+        got = {
+            (r["doc_id"], r["source"], r["n_chars"])
+            for r in r10_weighted_sample(spark, "/root/testdata/sf0.001").collect()
+        }
+        assert got == want
+
+    def test_k_boundary_margin(self):
+        """The only float-sensitive comparison is between the k-th and
+        (k+1)-th keys; the measured gap must dwarf cross-engine libm
+        noise (~1e-16 relative)."""
+        from batch_processing_system_spark.queries.wrangling import _WS_K
+
+        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            keyed = self._python_reference(sf)
+            gap = keyed[_WS_K][0] - keyed[_WS_K - 1][0]
+            assert gap > 1e-12, (sf, gap)
+
+    def test_sample_is_weight_biased(self, spark):
+        """Inclusion probability ∝ n_chars: the sample's mean length
+        must exceed the corpus mean (the point of weighting)."""
+        import duckdb
+
+        from batch_processing_system_spark.queries.wrangling import r10_weighted_sample
+
+        sample = r10_weighted_sample(spark, "/root/testdata/sf0.01").collect()
+        samp_mean = sum(r["n_chars"] for r in sample) / len(sample)
+        corpus_mean = duckdb.sql(
+            "SELECT avg(n_chars) FROM "
+            "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+        ).fetchone()[0]
+        assert samp_mean > corpus_mean
+
+
 class TestPercentileMargins:
     def test_rounding_margin_at_sf001(self, spark):
         """The 4dp ROUND is only hash-safe if no true percentile sits
