@@ -513,3 +513,65 @@ def r10_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_WS_K)
         .select("doc_id", "source", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# r11 — chi-square test of independence
+# ---------------------------------------------------------------------------
+
+@register(
+    "r11_chisq",
+    """
+    WITH cells AS (
+        SELECT event_type AS r, dayofweek(CAST(ts AS TIMESTAMP)) AS c,
+               COUNT(*) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT r, SUM(o) AS nr FROM cells GROUP BY r),
+    ct AS (SELECT c, SUM(o) AS nc FROM cells GROUP BY c),
+    g AS (SELECT SUM(o) AS n FROM cells)
+    SELECT CAST(MAX(g.n) AS BIGINT) AS n,
+           CAST((COUNT(DISTINCT cells.r) - 1)
+                * (COUNT(DISTINCT cells.c) - 1) AS BIGINT) AS dof,
+           CAST(ROUND(SUM(
+               pow(CAST(o AS DOUBLE)
+                   - CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE) / CAST(g.n AS DOUBLE), 2)
+               / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE) / CAST(g.n AS DOUBLE))
+           ), 6) AS DOUBLE) AS chi2
+    FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN g
+    """,
+    doc="Chi-square test of independence over the event_type x "
+    "day-of-week contingency table: observed cell counts vs the "
+    "nr*nc/n expectation, summed Pearson statistic + degrees of "
+    "freedom. The fact table reduces to the CELL table first (one "
+    "shuffle, |types| x 7 rows); margins and the grand total are "
+    "re-aggregations of that tiny table joined back broadcast-style, "
+    "so the statistic's cost is the cell aggregation at any scale. "
+    "Day convention: Spark dayofweek() is 1-based Sunday, DuckDB "
+    "0-based Sunday — the Spark side subtracts 1. ROUND(.,6) with a "
+    "measured boundary margin (tests) covers the one float "
+    "accumulation (35 cells).",
+)
+def r11_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        F.col("event_type").alias("r"),
+        (F.dayofweek(F.col("ts")) - 1).alias("c"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = cells.groupBy("r").agg(F.sum("o").alias("nr"))
+    ct = cells.groupBy("c").agg(F.sum("o").alias("nc"))
+    g = cells.agg(F.sum("o").alias("n"))
+    joined = (
+        cells.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .crossJoin(F.broadcast(g))
+    )
+    e = F.col("nr").cast("double") * F.col("nc").cast("double") / F.col("n").cast("double")
+    contrib = F.pow(F.col("o").cast("double") - e, F.lit(2)) / e
+    return joined.agg(
+        F.max("n").cast("bigint").alias("n"),
+        (
+            (F.countDistinct("r") - 1) * (F.countDistinct("c") - 1)
+        ).cast("bigint").alias("dof"),
+        F.round(F.sum(contrib), 6).cast("double").alias("chi2"),
+    )

@@ -257,6 +257,66 @@ class TestWeightedSample:
         assert samp_mean > corpus_mean
 
 
+class TestChiSquare:
+    def test_independent_table_scores_zero(self, spark, tmp_path):
+        """A perfectly independent contingency table (every cell equals
+        its expectation) must score chi2 = 0."""
+        rows = []
+        eid = 0
+        # 2 types x 2 weekdays, counts chosen so margins factor exactly:
+        # type a: 2 on Mon, 4 on Tue; type b: 1 on Mon, 2 on Tue
+        for etype, day, n in [("a", 8, 2), ("a", 9, 4), ("b", 8, 1), ("b", 9, 2)]:
+            for _ in range(n):
+                rows.append((eid, _ts(day), 1, etype, 0.0, "{}"))
+                eid += 1
+        sf = _write_events(spark, tmp_path, rows)
+        from batch_processing_system_spark.queries.wrangling import r11_chisq
+
+        out = r11_chisq(spark, sf).collect()[0]
+        assert out["n"] == 9 and out["dof"] == 1
+        assert out["chi2"] == pytest.approx(0.0, abs=1e-9)
+
+    def test_hand_computed_statistic(self, spark, tmp_path):
+        # 2x2 table [[3,1],[1,3]]: n=8, margins all 4, expectation 2
+        # chi2 = 4 * (3-2)^2/2 = ... each cell contributes (±1)^2/2 -> 4*0.5 = 2
+        rows = []
+        eid = 0
+        for etype, day, n in [("a", 8, 3), ("a", 9, 1), ("b", 8, 1), ("b", 9, 3)]:
+            for _ in range(n):
+                rows.append((eid, _ts(day), 1, etype, 0.0, "{}"))
+                eid += 1
+        sf = _write_events(spark, tmp_path, rows)
+        from batch_processing_system_spark.queries.wrangling import r11_chisq
+
+        out = r11_chisq(spark, sf).collect()[0]
+        assert out["chi2"] == pytest.approx(2.0, abs=1e-9)
+
+    def test_rounding_margin_on_real_data(self):
+        """chi2 is the one float accumulation; its distance to the 6dp
+        rounding boundary must dwarf cross-engine sum-order noise."""
+        import duckdb
+
+        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            v = duckdb.sql(
+                f"""
+                WITH cells AS (
+                    SELECT event_type AS r, dayofweek(CAST(ts AS TIMESTAMP)) AS c,
+                           COUNT(*) AS o
+                    FROM read_parquet('{sf}/events.parquet') GROUP BY 1, 2
+                ),
+                rt AS (SELECT r, SUM(o) AS nr FROM cells GROUP BY r),
+                ct AS (SELECT c, SUM(o) AS nc FROM cells GROUP BY c),
+                g AS (SELECT SUM(o) AS n FROM cells)
+                SELECT SUM(pow(CAST(o AS DOUBLE)
+                        - CAST(nr AS DOUBLE)*CAST(nc AS DOUBLE)/CAST(g.n AS DOUBLE), 2)
+                        / (CAST(nr AS DOUBLE)*CAST(nc AS DOUBLE)/CAST(g.n AS DOUBLE)))
+                FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN g
+                """
+            ).fetchone()[0]
+            margin = abs(v * 10**6 - round(v * 10**6) - 0.5)
+            assert margin > 1e-3, (sf, v, margin)
+
+
 class TestPercentileMargins:
     def test_rounding_margin_at_sf001(self, spark):
         """The 4dp ROUND is only hash-safe if no true percentile sits
