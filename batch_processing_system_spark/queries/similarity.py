@@ -33,6 +33,11 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     word sequences, not word sets: the 31-word synthetic vocabulary
     makes bag-of-words features collide everywhere)."""
     words = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    # a doc with fewer than n words has no n-shingle; without this
+    # guard sequence(0, negative) DESCENDS and element_at goes out of
+    # bounds (only reachable via short ingest docs — the synthetic
+    # corpus is always longer)
+    words = words.where(F.size("ws") >= n)
     idx = F.sequence(F.lit(0), F.size("ws") - n)
     return (
         words.select("doc_id", F.explode(idx).alias("i"), "ws")
