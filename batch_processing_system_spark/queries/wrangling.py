@@ -575,3 +575,96 @@ def r11_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("dof"),
         F.round(F.sum(contrib), 6).cast("double").alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r12 — two-sample Kolmogorov–Smirnov test
+# ---------------------------------------------------------------------------
+
+_KS_PARTS = 32
+
+
+@register(
+    "r12_ks_test",
+    """
+    WITH e AS (
+        SELECT value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is1
+        FROM events
+        WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+    ),
+    n AS (SELECT SUM(is1) AS n1, SUM(1 - is1) AS n2 FROM e),
+    s AS (
+        SELECT SUM(is1) OVER (ORDER BY value) AS c1,
+               SUM(1 - is1) OVER (ORDER BY value) AS c2
+        FROM e
+    )
+    SELECT CAST(MAX(n1) AS BIGINT) AS n1,
+           CAST(MAX(n2) AS BIGINT) AS n2,
+           CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS BIGINT) AS d_num,
+           CAST(ROUND(CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS DOUBLE)
+                / (MAX(n1) * MAX(n2)), 6) AS DOUBLE) AS ks_d
+    FROM s CROSS JOIN n
+    """,
+    doc="Two-sample Kolmogorov–Smirnov: D = max |ECDF1 − ECDF2| between "
+    "the purchase and click value distributions, computed INTEGER-"
+    "exactly as max|c1*n2 − c2*n1| (cross-multiplication, §2.5 D7 — "
+    "the only float is the final division, rounded). The Spark side is "
+    "the DISTRIBUTED ECDF: repartitionByRange on value, per-partition "
+    "cumulative counts under a partitionBy(pid) window (ties share a "
+    "partition by range-partitioner construction), plus broadcast "
+    "prefix offsets from a partition-count-sized aggregate — no "
+    "single-partition global window (the q32 discipline). The DuckDB "
+    "oracle uses the single-node window; both sides include ties via "
+    "the default RANGE frame (right-continuous ECDF).",
+)
+def r12_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    e = (
+        events.where(
+            F.col("event_type").isin("purchase", "click")
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "value",
+            (F.col("event_type") == "purchase").cast("int").alias("is1"),
+        )
+    )
+    parts = e.repartitionByRange(_KS_PARTS, "value").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    per_part = (
+        parts.groupBy("pid")
+        .agg(F.sum("is1").alias("s1"), F.sum(1 - F.col("is1")).alias("s2"))
+        .orderBy("pid")
+    )
+    # bounded-collect: one row per range partition (= _KS_PARTS), never rows
+    rows = per_part.collect()
+    off1 = off2 = 0
+    offsets = []
+    n1 = n2 = 0
+    for r in rows:
+        offsets.append((int(r["pid"]), off1, off2))
+        off1 += int(r["s1"])
+        off2 += int(r["s2"])
+    n1, n2 = off1, off2
+    off_df = spark.createDataFrame(
+        offsets, "pid int, off1 bigint, off2 bigint"
+    )
+    w = Window.partitionBy("pid").orderBy("value")
+    cum = (
+        parts.join(F.broadcast(off_df), "pid")
+        .select(
+            (F.sum("is1").over(w) + F.col("off1")).alias("c1"),
+            (F.sum(1 - F.col("is1")).over(w) + F.col("off2")).alias("c2"),
+        )
+    )
+    d_num = F.max(F.abs(F.col("c1") * F.lit(n2) - F.col("c2") * F.lit(n1)))
+    return cum.agg(
+        F.lit(n1).cast("bigint").alias("n1"),
+        F.lit(n2).cast("bigint").alias("n2"),
+        d_num.cast("bigint").alias("d_num"),
+        F.round(d_num.cast("double") / F.lit(float(n1 * n2)), 6)
+        .cast("double")
+        .alias("ks_d"),
+    )

@@ -317,6 +317,44 @@ class TestChiSquare:
             assert margin > 1e-3, (sf, v, margin)
 
 
+class TestKsTest:
+    def _ks(self, spark, tmp_path, pvals, cvals):
+        rows = []
+        eid = 0
+        for v in pvals:
+            rows.append((eid, _ts(1), 1, "purchase", float(v), "{}"))
+            eid += 1
+        for v in cvals:
+            rows.append((eid, _ts(1), 1, "click", float(v), "{}"))
+            eid += 1
+        sf = _write_events(spark, tmp_path, rows)
+        from batch_processing_system_spark.queries.wrangling import r12_ks_test
+
+        return r12_ks_test(spark, sf).collect()[0]
+
+    def test_identical_samples_score_zero(self, spark, tmp_path):
+        out = self._ks(spark, tmp_path, [1, 2, 3, 4], [1, 2, 3, 4])
+        assert (out["n1"], out["n2"], out["d_num"]) == (4, 4, 0)
+        assert out["ks_d"] == 0.0
+
+    def test_disjoint_supports_score_one(self, spark, tmp_path):
+        out = self._ks(spark, tmp_path, [1, 2, 3], [10, 11, 12])
+        assert out["d_num"] == 9  # 3*3
+        assert out["ks_d"] == 1.0
+
+    def test_hand_computed_d(self, spark, tmp_path):
+        # P={1,3}, C={2,4}: ECDF gaps at v=1: |1/2-0|=.5; v=2: |.5-.5|=0;
+        # v=3: |1-.5|=.5; v=4: 0 -> D=0.5, d_num = .5*4 = 2
+        out = self._ks(spark, tmp_path, [1, 3], [2, 4])
+        assert out["d_num"] == 2 and out["ks_d"] == 0.5
+
+    def test_ties_counted_on_both_sides(self, spark, tmp_path):
+        # shared value 5 contributes to BOTH cumulative counts at once
+        out = self._ks(spark, tmp_path, [5, 6], [5, 9])
+        # sorted: 5(P),5(C),6(P),9(C); at 5: |1*2-1*2|=0; at 6: |2*2-1*2|=2
+        assert out["d_num"] == 2 and out["ks_d"] == 0.5
+
+
 class TestPercentileMargins:
     def test_rounding_margin_at_sf001(self, spark):
         """The 4dp ROUND is only hash-safe if no true percentile sits
