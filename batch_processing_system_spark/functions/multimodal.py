@@ -68,6 +68,26 @@ def _sniff(content: bytes | None) -> tuple:
     if content[:2] == b"BM" and len(content) >= 26:
         w, h = struct.unpack("<ii", content[18:26])
         return ("bmp", w, abs(h), None, None)
+    if content[:2] in (b"II", b"MM") and content[2:4] in (b"\x2a\x00", b"\x00\x2a"):
+        bo = "<" if content[:2] == b"II" else ">"
+        try:
+            ifd = struct.unpack(bo + "I", content[4:8])[0]
+            n = struct.unpack(bo + "H", content[ifd : ifd + 2])[0]
+            w = h = None
+            for i in range(n):
+                e = content[ifd + 2 + 12 * i : ifd + 14 + 12 * i]
+                tag, typ = struct.unpack(bo + "HH", e[:4])
+                if tag in (256, 257):
+                    v = struct.unpack(
+                        bo + ("H" if typ == 3 else "I"), e[8 : 10 if typ == 3 else 12]
+                    )[0]
+                    if tag == 256:
+                        w = v
+                    else:
+                        h = v
+            return ("tiff", w, h, None, None)
+        except (struct.error, IndexError):
+            return ("tiff", None, None, None, None)
     if content[:3] == b"\xff\xd8\xff":
         # walk JPEG segments to the SOF marker for dimensions
         i = 2
@@ -338,10 +358,14 @@ def decode_and_resize(binary_df: DataFrame, width: int, height: int) -> DataFram
                 if rgb is None:
                     rgb = decode_jpeg_rgb(data)
                 if rgb is None:
+                    from .tiff import decode_tiff_rgb
+
+                    rgb = decode_tiff_rgb(data)
+                if rgb is None:
                     raise NotImplementedError(
                         f"decode_and_resize: {path!r} is not a BMP, PNG, "
-                        "or Huffman JPEG, and Pillow (PIL) is not "
-                        "installed; install Pillow for other formats"
+                        "Huffman JPEG, or baseline TIFF, and Pillow (PIL) "
+                        "is not installed; install Pillow for other formats"
                     )
                 rows.append(
                     (path, [int(v) for v in _resize_nearest(rgb, width, height).ravel()])
@@ -789,9 +813,13 @@ def extract_decode_stats(binary_df: DataFrame) -> DataFrame:
                     if rgb is None:
                         rgb = decode_jpeg_rgb(data)
                     if rgb is None:
+                        from .tiff import decode_tiff_rgb
+
+                        rgb = decode_tiff_rgb(data)
+                    if rgb is None:
                         raise NotImplementedError(
                             f"extract_decode_stats: {path!r} is not a BMP, "
-                            "PNG, Huffman JPEG, GIF, WAV, or MJPEG AVI"
+                            "PNG, Huffman JPEG, TIFF, GIF, WAV, or MJPEG AVI"
                         )
                     rows.append(
                         (path, "image", int(rgb.shape[1]), int(rgb.shape[0]),

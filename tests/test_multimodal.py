@@ -442,10 +442,13 @@ class TestPngDecode:
 
 class TestStubs:
     def test_decode_of_unsupported_format_names_dependency(self, spark, tmp_path):
-        # baseline JPEG decodes natively since r3 (tests/test_jpeg.py);
-        # the stub boundary is now formats NO built-in decoder covers —
-        # e.g. TIFF — which must still fail naming the missing library
-        (tmp_path / "x.tiff").write_bytes(b"II*\x00" + b"\x00" * 64)
+        # baseline JPEG decodes natively since r3 and baseline TIFF
+        # since r6; the stub boundary is now formats NO built-in
+        # decoder covers — e.g. WebP — which must still fail naming
+        # the missing library
+        (tmp_path / "x.webp").write_bytes(
+            b"RIFF\x40\x00\x00\x00WEBP" + b"\x00" * 64
+        )
         df = read_binary_dir(spark, str(tmp_path))
         with pytest.raises(Exception, match="Pillow"):
             decode_and_resize(df, 8, 8).collect()

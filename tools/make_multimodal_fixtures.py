@@ -26,6 +26,7 @@ import numpy as np
 
 from tests._flac_encoder import encode_flac
 from tests._jpeg_encoder import encode_color, encode_color_progressive
+from tests._tiff_encoder import encode_tiff
 from tests.test_multimodal import (
     PALETTE4,
     make_adpcm_wav,
@@ -141,6 +142,16 @@ def build_fixtures() -> dict[str, bytes]:
         "fx12_pcm.wav": make_sine_wav(8000, 1, 300, 0.4),
         "fx13_adpcm.wav": make_adpcm_wav([sine, sine], sample_rate=8000),
         "fx14_mjpeg.avi": avi,
+        # same gradient as fx01/fx03 -> the BMP≡PNG digest invariant
+        # becomes three-way BMP≡PNG≡TIFF; big-endian + LZW + predictor 2
+        # + multi-strip is the decoder's maximal machinery path
+        "fx16_gradient.tif": encode_tiff(
+            np.array(grad, dtype=np.uint8),
+            endian=">",
+            compression=5,
+            predictor=2,
+            rows_per_strip=3,
+        ),
         "fx15_stereo.flac": encode_flac(
             [sine[:4000], [-s for s in sine[:4000]]],
             sample_rate=8000,
@@ -193,6 +204,12 @@ def main() -> None:
                 rgb = _decode_png_rgb(data)
             if rgb is None:
                 rgb = decode_jpeg_rgb(data)
+            if rgb is None:
+                from batch_processing_system_spark.functions.tiff import (
+                    decode_tiff_rgb,
+                )
+
+                rgb = decode_tiff_rgb(data)
             row = (name, "image", int(rgb.shape[1]), int(rgb.shape[0]), 1,
                    hashlib.sha256(rgb.tobytes()).hexdigest())
         f, k, w, h, n, s = row
