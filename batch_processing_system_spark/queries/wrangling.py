@@ -668,3 +668,102 @@ def r12_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("ks_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r13 — Mann–Whitney U (rank-sum) test
+# ---------------------------------------------------------------------------
+
+@register(
+    "r13_mannwhitney",
+    """
+    WITH e AS (
+        SELECT value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is1
+        FROM events
+        WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+    ),
+    rk AS (
+        SELECT is1,
+               2 * CAST(RANK() OVER (ORDER BY value) AS BIGINT)
+               + CAST(COUNT(*) OVER (PARTITION BY value) AS BIGINT) - 1 AS r2
+        FROM e
+    ),
+    agg AS (
+        SELECT SUM(CASE WHEN is1 = 1 THEN r2 ELSE 0 END) AS r1d,
+               SUM(is1) AS n1, SUM(1 - is1) AS n2
+        FROM rk
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           CAST(r1d - n1 * (n1 + 1) AS BIGINT) AS u1_doubled,
+           CAST(2 * n1 * n2 - (r1d - n1 * (n1 + 1)) AS BIGINT) AS u2_doubled,
+           CAST(ROUND(CAST(r1d - n1 * (n1 + 1) AS DOUBLE)
+                / (2.0 * n1 * n2), 6) AS DOUBLE) AS auc
+    FROM agg
+    """,
+    doc="Mann–Whitney U (Wilcoxon rank-sum) between the purchase and "
+    "click value distributions, with midrank tie handling kept "
+    "INTEGER-exact by doubling: 2·avgrank = 2·rank + tiecount − 1, so "
+    "U1_doubled = ΣR1_doubled − n1(n1+1) never touches a float; the "
+    "derived AUC (= U1/n1n2, the common-language effect size / "
+    "probability a random purchase outranks a random click) is the "
+    "only rounded float. Spark side reuses the r12 distributed-ECDF "
+    "shape — repartitionByRange + per-partition windows + broadcast "
+    "prefix offsets, ties co-located by the range partitioner, no "
+    "single-partition window; the DuckDB oracle uses the single-node "
+    "RANK() formulation of the same midrank identity.",
+)
+def r13_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    e = (
+        events.where(
+            F.col("event_type").isin("purchase", "click")
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "value",
+            (F.col("event_type") == "purchase").cast("int").alias("is1"),
+        )
+    )
+    parts = e.repartitionByRange(_KS_PARTS, "value").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    per_part = (
+        parts.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).orderBy("pid")
+    )
+    # bounded-collect: one row per range partition (= _KS_PARTS), never rows
+    rows = per_part.collect()
+    off = 0
+    offsets = []
+    for r in rows:
+        offsets.append((int(r["pid"]), off))
+        off += int(r["c"])
+    off_df = spark.createDataFrame(offsets, "pid int, off bigint")
+    w_le = Window.partitionBy("pid").orderBy("value")  # RANGE: ties included
+    w_eq = Window.partitionBy("value")  # ties co-located by range partitioner
+    ranked = (
+        parts.join(F.broadcast(off_df), "pid")
+        .select(
+            "is1",
+            (F.count(F.lit(1)).over(w_le) + F.col("off")).alias("c_le"),
+            F.count(F.lit(1)).over(w_eq).alias("c_eq"),
+        )
+        # doubled midrank: 2*c_lt + c_eq + 1 = 2*c_le - c_eq + 1
+        .select("is1", (2 * F.col("c_le") - F.col("c_eq") + 1).alias("r2"))
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("is1") == 1, F.col("r2")).otherwise(0)).alias("r1d"),
+        F.sum("is1").alias("n1"),
+        F.sum(1 - F.col("is1")).alias("n2"),
+    )
+    u1d = F.col("r1d") - F.col("n1") * (F.col("n1") + 1)
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        u1d.cast("bigint").alias("u1_doubled"),
+        (2 * F.col("n1") * F.col("n2") - u1d).cast("bigint").alias("u2_doubled"),
+        F.round(
+            u1d.cast("double") / (2.0 * F.col("n1") * F.col("n2")), 6
+        ).cast("double").alias("auc"),
+    )

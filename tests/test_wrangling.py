@@ -355,6 +355,41 @@ class TestKsTest:
         assert out["d_num"] == 2 and out["ks_d"] == 0.5
 
 
+class TestMannWhitney:
+    def _mw(self, spark, tmp_path, pvals, cvals):
+        rows = []
+        eid = 0
+        for v in pvals:
+            rows.append((eid, _ts(1), 1, "purchase", float(v), "{}"))
+            eid += 1
+        for v in cvals:
+            rows.append((eid, _ts(1), 1, "click", float(v), "{}"))
+            eid += 1
+        sf = _write_events(spark, tmp_path, rows)
+        from batch_processing_system_spark.queries.wrangling import r13_mannwhitney
+
+        return r13_mannwhitney(spark, sf).collect()[0]
+
+    def test_hand_computed_with_ties(self, spark, tmp_path):
+        # P={1,2,2}, C={2,3}: pooled sorted 1,2,2,2,3 — midrank of the
+        # three 2s is 3 (positions 2..4). R1 = 1+3+3 = 7,
+        # U1 = 7 - 3*4/2 = 1; U2 = n1*n2 - U1 = 5
+        out = self._mw(spark, tmp_path, [1, 2, 2], [2, 3])
+        assert (out["n1"], out["n2"]) == (3, 2)
+        assert out["u1_doubled"] == 2 and out["u2_doubled"] == 10
+        assert out["auc"] == pytest.approx(1 / 6, abs=1e-6)
+
+    def test_complete_separation(self, spark, tmp_path):
+        # every purchase above every click -> U1 = n1*n2, AUC = 1
+        out = self._mw(spark, tmp_path, [10, 11, 12], [1, 2])
+        assert out["u1_doubled"] == 12 and out["auc"] == 1.0
+
+    def test_identical_samples_auc_half(self, spark, tmp_path):
+        out = self._mw(spark, tmp_path, [1, 2, 3], [1, 2, 3])
+        assert out["u1_doubled"] == out["u2_doubled"]
+        assert out["auc"] == 0.5
+
+
 class TestPercentileMargins:
     def test_rounding_margin_at_sf001(self, spark):
         """The 4dp ROUND is only hash-safe if no true percentile sits

@@ -130,7 +130,12 @@ def main() -> None:
     # don't print as EvalPython, but a registered @udtf prints as
     # BatchEvalPythonUDTF) — for those, Python in the plan is the point,
     # and the oracle still hash-checks the output.
-    PYTHON_IS_THE_SURFACE = {"q85_chunk_udtf"}  # U4 registered UDTF
+    PYTHON_IS_THE_SURFACE = {
+        "q85_chunk_udtf",   # U4 registered UDTF
+        "r08_bpe_tokens",   # X19: the Arrow-batched BPE tokenizer UDF IS
+                            # the operator; the oracle hash-checks its
+                            # output against an independent implementation
+    }
     for name, spec in sorted(REGISTRY.items()):
         if spec.oracle is None or name not in plans:
             continue
