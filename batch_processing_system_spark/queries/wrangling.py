@@ -767,3 +767,127 @@ def r13_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             u1d.cast("double") / (2.0 * F.col("n1") * F.col("n2")), 6
         ).cast("double").alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r14 — robust outlier detection (median / MAD)
+# ---------------------------------------------------------------------------
+
+@register(
+    "r14_mad_outliers",
+    """
+    WITH med AS (
+        SELECT event_type, median(CAST(value AS DOUBLE)) AS med
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    dev AS (
+        SELECT e.event_type,
+               abs(CAST(e.value AS DOUBLE) - m.med) AS adev, m.med
+        FROM events e JOIN med m USING (event_type)
+        WHERE e.value IS NOT NULL
+    ),
+    mad AS (
+        SELECT event_type, median(adev) AS mad, MAX(med) AS med
+        FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(ROUND(MAX(m.med), 4) AS DOUBLE) AS med,
+           CAST(ROUND(MAX(m.mad), 4) AS DOUBLE) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY 1
+    """,
+    doc="Robust per-group outlier detection: median + median-absolute-"
+    "deviation, flag |v − med| > 3·MAD. Two grouped exact medians "
+    "(Spark `median` ≡ DuckDB `median`, same interpolation) and two "
+    "broadcast joins of the group-count-sized stats back onto the "
+    "facts; the 3·MAD threshold compare is float but the worst "
+    "measured margin on this data is 0.02 (tests pin it — ~1e14× "
+    "double noise; 2-decimal inputs make near-boundary values rare by "
+    "construction). The robust alternative to q63's mean/std z-score.",
+)
+def r14_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    e = events.where(F.col("value").isNotNull()).select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    med = e.groupBy("event_type").agg(F.median("v").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("v") - F.col("med")).alias("adev"), "med"
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.median("adev").alias("mad"), F.max("med").alias("med")
+    )
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.max("med"), 4).cast("double").alias("med"),
+            F.round(F.max("mad"), 4).cast("double").alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# r15 — per-source KL divergence vs the corpus unigram distribution
+# ---------------------------------------------------------------------------
+
+@register(
+    "r15_kl_divergence",
+    """
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    t AS (SELECT source, word FROM tok WHERE word <> ''),
+    sw AS (SELECT source, word, COUNT(*) AS c FROM t GROUP BY 1, 2),
+    s AS (SELECT source, SUM(c) AS ns FROM sw GROUP BY 1),
+    w AS (SELECT word, SUM(c) AS cw FROM sw GROUP BY 1),
+    g AS (SELECT SUM(c) AS n FROM sw)
+    SELECT sw.source,
+           CAST(MAX(s.ns) AS BIGINT) AS n_tokens,
+           CAST(ROUND(SUM(
+               (CAST(sw.c AS DOUBLE) / s.ns)
+               * ln((CAST(sw.c AS DOUBLE) / s.ns)
+                    / (CAST(w.cw AS DOUBLE) / g.n))
+           ), 6) AS DOUBLE) AS kl
+    FROM sw JOIN s USING (source) JOIN w USING (word) CROSS JOIN g
+    GROUP BY 1
+    """,
+    doc="Domain-shift signal: KL(source ‖ corpus) over unigram "
+    "distributions — Σ p·ln(p/q) with p the source's word frequency "
+    "and q the corpus-wide one (q>0 for every source word by "
+    "construction, no smoothing needed). One shuffle to (source, "
+    "word) counts; the word-global and per-source totals are "
+    "re-aggregations of that table joined back (word side broadcast "
+    "at vocab size). The float log-sum rounds at 6dp with a measured "
+    "boundary margin (tests). The distribution-level companion to "
+    "q89's per-document perplexity gate.",
+)
+def r15_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", F.explode(F.split("text", r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    sw = t.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
+    s = sw.groupBy("source").agg(F.sum("c").alias("ns"))
+    w = sw.groupBy("word").agg(F.sum("c").alias("cw"))
+    g = sw.agg(F.sum("c").alias("n"))
+    joined = (
+        sw.join(F.broadcast(s), "source")
+        .join(F.broadcast(w), "word")
+        .crossJoin(F.broadcast(g))
+    )
+    p = F.col("c").cast("double") / F.col("ns")
+    q = F.col("cw").cast("double") / F.col("n")
+    return joined.groupBy("source").agg(
+        F.max("ns").cast("bigint").alias("n_tokens"),
+        F.round(F.sum(p * F.log(p / q)), 6).cast("double").alias("kl"),
+    )

@@ -390,6 +390,112 @@ class TestMannWhitney:
         assert out["auc"] == 0.5
 
 
+class TestMadOutliers:
+    def test_hand_computed(self, spark, tmp_path):
+        # values 1..9 plus an outlier 100: median of 1..9,100 = 5.5,
+        # adevs = 4.5,3.5,...,0.5,0.5,...,94.5 -> MAD = 2.5;
+        # threshold 7.5 -> only 100 (adev 94.5) and 1? adev(1)=4.5 no.
+        vals = list(range(1, 10)) + [100]
+        rows = [
+            (i, _ts(1), 1, "view", float(v), "{}") for i, v in enumerate(vals)
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        from batch_processing_system_spark.queries.wrangling import r14_mad_outliers
+
+        out = {r["event_type"]: r for r in r14_mad_outliers(spark, sf).collect()}
+        v = out["view"]
+        assert v["cnt"] == 10
+        assert v["med"] == 5.5 and v["mad"] == 2.5
+        assert v["n_outliers"] == 1
+
+    def test_threshold_margin_on_real_data(self):
+        """No |v-med| sits near its 3*MAD boundary at either SF — the
+        one float comparison in the query."""
+        import duckdb
+
+        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            worst = duckdb.sql(
+                f"""
+                WITH med AS (
+                    SELECT event_type, median(CAST(value AS DOUBLE)) AS med
+                    FROM read_parquet('{sf}/events.parquet')
+                    WHERE value IS NOT NULL GROUP BY 1
+                ),
+                dev AS (
+                    SELECT e.event_type,
+                           abs(CAST(e.value AS DOUBLE) - m.med) AS adev
+                    FROM read_parquet('{sf}/events.parquet') e
+                    JOIN med m USING (event_type) WHERE e.value IS NOT NULL
+                ),
+                mad AS (SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1)
+                SELECT MIN(ABS(d.adev - 3 * m.mad))
+                FROM dev d JOIN mad m USING (event_type)
+                """
+            ).fetchone()[0]
+            assert worst > 1e-6, (sf, worst)
+
+
+class TestKlDivergence:
+    def test_uniform_source_matches_corpus(self, spark, tmp_path):
+        # two sources with IDENTICAL word distributions -> KL = 0 both
+        rows = [
+            (1, "a b c d", "en", "src0", 7),
+            (2, "a b c d", "en", "src1", 7),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        from batch_processing_system_spark.queries.wrangling import r15_kl_divergence
+
+        out = {r["source"]: r for r in r15_kl_divergence(spark, str(tmp_path)).collect()}
+        assert out["src0"]["kl"] == 0.0 and out["src1"]["kl"] == 0.0
+        assert out["src0"]["n_tokens"] == 4
+
+    def test_skewed_source_positive(self, spark, tmp_path):
+        import math
+
+        rows = [
+            (1, "a a a a", "en", "skew", 7),   # p(a)=1
+            (2, "a b b b", "en", "base", 7),   # corpus: a=5/8, b=3/8
+        ]
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        from batch_processing_system_spark.queries.wrangling import r15_kl_divergence
+
+        out = {r["source"]: r["kl"] for r in r15_kl_divergence(spark, str(tmp_path)).collect()}
+        # KL(skew) = 1 * ln(1 / (5/8)) = ln(8/5)
+        assert out["skew"] == pytest.approx(round(math.log(8 / 5), 6), abs=2e-6)
+        # KL(base) = 1/4 ln((1/4)/(5/8)) + 3/4 ln((3/4)/(3/8))
+        want = 0.25 * math.log(0.25 / 0.625) + 0.75 * math.log(2.0)
+        assert out["base"] == pytest.approx(round(want, 6), abs=2e-6)
+
+    def test_rounding_margin_on_real_data(self):
+        import duckdb
+
+        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            rows = duckdb.sql(
+                f"""
+                WITH t AS (
+                    SELECT source, unnest(string_split(text, ' ')) AS word
+                    FROM read_parquet('{sf}/documents.parquet')
+                ),
+                sw AS (SELECT source, word, COUNT(*) AS c FROM t
+                       WHERE word <> '' GROUP BY 1, 2),
+                s AS (SELECT source, SUM(c) AS ns FROM sw GROUP BY 1),
+                w AS (SELECT word, SUM(c) AS cw FROM sw GROUP BY 1),
+                g AS (SELECT SUM(c) AS n FROM sw)
+                SELECT SUM((CAST(sw.c AS DOUBLE)/s.ns)
+                        * ln((CAST(sw.c AS DOUBLE)/s.ns)/(CAST(w.cw AS DOUBLE)/g.n)))
+                FROM sw JOIN s USING (source) JOIN w USING (word) CROSS JOIN g
+                GROUP BY sw.source
+                """
+            ).fetchall()
+            for (v,) in rows:
+                margin = abs(v * 10**6 - round(v * 10**6) - 0.5)
+                assert margin > 1e-4, (sf, v, margin)
+
+
 class TestPercentileMargins:
     def test_rounding_margin_at_sf001(self, spark):
         """The 4dp ROUND is only hash-safe if no true percentile sits
