@@ -891,3 +891,149 @@ def r15_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ns").cast("bigint").alias("n_tokens"),
         F.round(F.sum(p * F.log(p / q)), 6).cast("double").alias("kl"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r16 — market-basket association rules (co-occurrence / lift)
+# ---------------------------------------------------------------------------
+
+_MB_MIN_SUPPORT = 3
+
+
+@register(
+    "r16_market_basket",
+    f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+    pc AS (SELECT l_partkey, COUNT(*) AS c FROM li GROUP BY 1),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS supp
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_MB_MIN_SUPPORT}
+    )
+    SELECT pa, pb, CAST(supp AS BIGINT) AS supp,
+           CAST(supp AS DOUBLE) / ca.c AS conf_a_b,
+           CAST(supp AS DOUBLE) / cb.c AS conf_b_a,
+           CAST(supp AS DOUBLE) * n.n_orders / (ca.c * cb.c) AS lift
+    FROM pairs
+    JOIN pc ca ON pa = ca.l_partkey
+    JOIN pc cb ON pb = cb.l_partkey
+    CROSS JOIN n
+    """,
+    doc="Association rules over order baskets: part pairs co-purchased "
+    "in ≥ min-support orders, with confidence both directions and "
+    "lift. The self-join fans out per-order as (basket size choose 2) "
+    "— bounded by basket width (~7 here), the a-priori candidate "
+    "shape, never corpus-quadratic; the HAVING support cut keeps the "
+    "rule table output-sized, and the part-count/total tables join "
+    "back broadcast (dimension-sized). Ratios are emitted UNROUNDED "
+    "on purpose (an exception to the D7 round-everything habit, with "
+    "the same justification the rule exists for): each is one IEEE "
+    "division of exactly-representable integers through an identical "
+    "expression tree on both engines, hence bit-deterministic — "
+    "whereas ROUND would ADD a hazard, since integer-ratio rationals "
+    "can land exactly on a rounding half-boundary (this data has a "
+    "lift of 44229/800 = 55.28625, dead on the 4dp boundary; "
+    "test-pinned).",
+)
+def r16_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    li = lineitem.select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.select("l_orderkey").distinct().count()  # scalar dimension
+    pc = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .where(F.col("supp") >= _MB_MIN_SUPPORT)
+    )
+    ca = pc.select(F.col("l_partkey").alias("pa"), F.col("c").alias("ca"))
+    cb = pc.select(F.col("l_partkey").alias("pb"), F.col("c").alias("cb"))
+    supp = F.col("supp").cast("double")
+    return (
+        pairs.join(F.broadcast(ca), "pa")
+        .join(F.broadcast(cb), "pb")
+        .select(
+            "pa",
+            "pb",
+            F.col("supp").cast("bigint").alias("supp"),
+            (supp / F.col("ca")).alias("conf_a_b"),
+            (supp / F.col("cb")).alias("conf_b_a"),
+            (supp * F.lit(n_orders) / (F.col("ca") * F.col("cb"))).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# r17 — near-containment detection (asymmetric dedup)
+# ---------------------------------------------------------------------------
+
+@register(
+    "r17_containment",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS shingle
+           FROM w, UNNEST(generate_series(1, len(ws) - 4)) AS t(i)),
+    n AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT da AS contained_id, db AS container_id, n_common
+    FROM inter JOIN n na ON da = na.doc_id
+    WHERE 10 * n_common >= 9 * na.nsh
+    UNION ALL
+    SELECT db AS contained_id, da AS container_id, n_common
+    FROM inter JOIN n nb ON db = nb.doc_id
+    WHERE 10 * n_common >= 9 * nb.nsh
+    """,
+    doc="Asymmetric near-dup: document A is ~contained in B when "
+    "|shingles(A) ∩ shingles(B)| ≥ 0.9·|shingles(A)| — catches "
+    "quote-inclusion and stitched documents that symmetric Jaccard "
+    "misses (a short doc pasted into a long one has low Jaccard but "
+    "full containment). Same inverted-index candidate shape and "
+    "integer cross-multiplication predicate as q46, evaluated in both "
+    "orientations from one symmetric intersection pass; at 100 TB the "
+    "candidate generation takes q46's hot-shingle DF cut + rarest-k "
+    "exemption unchanged (containment ≥ 0.9 shares rare shingles a "
+    "fortiori — more overlap than the 0.6 Jaccard bound the cut is "
+    "proven against).",
+)
+def r17_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs, n=5).localCheckpoint(eager=True)
+    n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+    a = sh.select(F.col("doc_id").alias("da"), "shingle")
+    b = sh.select(F.col("doc_id").alias("db"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = n.select(F.col("doc_id").alias("da"), F.col("nsh").alias("nsh_a"))
+    nb = n.select(F.col("doc_id").alias("db"), F.col("nsh").alias("nsh_b"))
+    both = inter.join(F.broadcast(na), "da").join(F.broadcast(nb), "db")
+    fwd = both.where(10 * F.col("n_common") >= 9 * F.col("nsh_a")).select(
+        F.col("da").alias("contained_id"),
+        F.col("db").alias("container_id"),
+        "n_common",
+    )
+    rev = both.where(10 * F.col("n_common") >= 9 * F.col("nsh_b")).select(
+        F.col("db").alias("contained_id"),
+        F.col("da").alias("container_id"),
+        "n_common",
+    )
+    return fwd.unionAll(rev)

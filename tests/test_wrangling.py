@@ -496,6 +496,122 @@ class TestKlDivergence:
                 assert margin > 1e-4, (sf, v, margin)
 
 
+class TestMarketBasket:
+    def _li(self, spark, tmp_path, baskets):
+        rows = []
+        ln = 0
+        for okey, parts in baskets:
+            for i, p in enumerate(parts):
+                rows.append((okey, p, 1, i + 1, 1.0, 10.0, 0.0, 0.0, "N", "O", _ts(1)))
+                ln += 1
+        spark.createDataFrame(
+            rows,
+            "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+            "l_linenumber int, l_quantity double, l_extendedprice double, "
+            "l_discount double, l_tax double, l_returnflag string, "
+            "l_linestatus string, l_shipdate timestamp",
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+        return str(tmp_path)
+
+    def test_hand_computed_rule(self, spark, tmp_path):
+        # parts 1,2 co-occur in orders 10,11,12 (supp 3); part 1 also in
+        # 13, part 2 also in 14,15 -> c1=4, c2=5, n_orders=6
+        baskets = [
+            (10, [1, 2]), (11, [1, 2]), (12, [1, 2]),
+            (13, [1]), (14, [2]), (15, [2, 3]),
+        ]
+        from batch_processing_system_spark.queries.wrangling import r16_market_basket
+
+        out = r16_market_basket(spark, self._li(spark, tmp_path, baskets)).collect()
+        assert len(out) == 1  # only (1,2) reaches support 3
+        r = out[0]
+        assert (r["pa"], r["pb"], r["supp"]) == (1, 2, 3)
+        assert r["conf_a_b"] == 0.75          # 3/4
+        assert r["conf_b_a"] == 0.6           # 3/5
+        assert r["lift"] == pytest.approx(3 * 6 / (4 * 5), abs=1e-9)
+
+    def test_duplicate_lineitems_count_once(self, spark, tmp_path):
+        # same part twice in one order must not inflate support
+        baskets = [(1, [7, 7, 8]), (2, [7, 8]), (3, [7, 8])]
+        from batch_processing_system_spark.queries.wrangling import r16_market_basket
+
+        out = r16_market_basket(spark, self._li(spark, tmp_path, baskets)).collect()
+        assert len(out) == 1 and out[0]["supp"] == 3
+
+    def test_boundary_rational_justifies_unrounded_output(self):
+        """The reason r16 emits raw ratios: this data contains a lift
+        landing EXACTLY on the 4dp rounding half-boundary (44229/800 =
+        55.28625), where ROUND across engines is the hazard and plain
+        IEEE division of identical integer operands is not."""
+        import duckdb
+
+        rows = duckdb.sql(
+            """
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM read_parquet('/root/testdata/sf0.01/lineitem.parquet')),
+            n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+            pc AS (SELECT l_partkey, COUNT(*) AS c FROM li GROUP BY 1),
+            pairs AS (SELECT a.l_partkey pa, b.l_partkey pb, COUNT(*) supp
+                      FROM li a JOIN li b ON a.l_orderkey=b.l_orderkey
+                        AND a.l_partkey<b.l_partkey
+                      GROUP BY 1,2 HAVING COUNT(*) >= 3)
+            SELECT supp * n.n_orders AS num, ca.c * cb.c AS den
+            FROM pairs JOIN pc ca ON pa=ca.l_partkey
+            JOIN pc cb ON pb=cb.l_partkey CROSS JOIN n
+            """
+        ).fetchall()
+        # at least one lift is an exact x.xxxx5 rational — the case that
+        # would make ROUND(.,4) engine-dependent
+        assert any((num * 10**4 * 2) % (2 * den) == den for num, den in rows)
+        # and every operand is exactly double-representable (< 2^53)
+        assert all(num < 2**53 and den < 2**53 for num, den in rows)
+
+
+class TestContainment:
+    def test_quote_inclusion_detected_asymmetrically(self, spark, tmp_path):
+        short = "alpha beta gamma delta epsilon zeta"  # 6 words, 2 shingles
+        longdoc = (
+            "intro words here then "  # 4
+            + short
+            + " plus a very long tail of unrelated content going on and on "
+            "with many more words than the quoted fragment itself has"
+        )
+        rows = [
+            (1, short, "en", "s", len(short)),
+            (2, longdoc, "en", "s", len(longdoc)),
+            (3, "completely different text with no shared runs at all here", "en", "s", 50),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        from batch_processing_system_spark.queries.wrangling import r17_containment
+
+        out = [
+            (r["contained_id"], r["container_id"])
+            for r in r17_containment(spark, str(tmp_path)).collect()
+        ]
+        assert out == [(1, 2)]  # 1 ⊂ 2, never the reverse, doc 3 clean
+
+    def test_jaccard_would_miss_it(self, spark, tmp_path):
+        """The planted pair above sits well below Jaccard 0.6 — the
+        point of the asymmetric predicate."""
+        short = "alpha beta gamma delta epsilon zeta"
+        longdoc = (
+            "intro words here then " + short
+            + " plus a very long tail of unrelated content going on and on "
+            "with many more words than the quoted fragment itself has"
+        )
+        sw = set()
+        lw = set()
+        for text, acc in ((short, sw), (longdoc, lw)):
+            ws = text.split()
+            for i in range(len(ws) - 4):
+                acc.add(" ".join(ws[i : i + 5]))
+        jac = len(sw & lw) / len(sw | lw)
+        assert jac < 0.6
+        assert len(sw & lw) >= 0.9 * len(sw)
+
+
 class TestPercentileMargins:
     def test_rounding_margin_at_sf001(self, spark):
         """The 4dp ROUND is only hash-safe if no true percentile sits
