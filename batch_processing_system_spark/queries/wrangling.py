@@ -1037,3 +1037,215 @@ def r17_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_common",
     )
     return fwd.unionAll(rev)
+
+
+# ---------------------------------------------------------------------------
+# r18 — triangle counting on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+@register(
+    "r18_triangles",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT v) FROM
+                 (SELECT pa AS v FROM e UNION SELECT pb FROM e) u) AS BIGINT)
+               AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*)
+                 FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+                 JOIN e e3 ON e1.pa = e3.pa AND e2.pb = e3.pb) AS BIGINT)
+               AS n_triangles
+    """,
+    doc="Graph analytics beyond components: triangle count on the "
+    "co-purchase graph (parts sharing ≥2 orders). Edges are stored "
+    "once in canonical (pa < pb) orientation, so each triangle "
+    "(a<b<c) is counted exactly once by the two-hop join e1(a,b) ⋈ "
+    "e2(b,c) ⋈ e3(a,c) — the node-iterator shape whose join "
+    "cardinality is Σ deg²(v) on the canonical DAG, the standard "
+    "distributed formulation (degree-ordered orientation bounds the "
+    "fan-out by arboricity). All integer counts; the edge list "
+    "reuses r16's basket-bounded pair generation.",
+)
+def r18_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    li = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("pa", "pb")
+        .localCheckpoint(eager=True)  # three consumers below
+    )
+    nodes = (
+        e.select(F.col("pa").alias("v"))
+        .unionAll(e.select(F.col("pb").alias("v")))
+        .distinct()
+        .count()
+    )
+    n_edges = e.count()
+    e1 = e.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+    e2 = e.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
+    e3 = e.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).count()
+    import pandas as pd  # one-row result assembled driver-side
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [{"n_nodes": nodes, "n_edges": n_edges, "n_triangles": tri}]
+        )
+    ).select(
+        F.col("n_nodes").cast("bigint"),
+        F.col("n_edges").cast("bigint"),
+        F.col("n_triangles").cast("bigint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r19 — overlapping-interval merge (coverage per user)
+# ---------------------------------------------------------------------------
+
+_IV_LEN_US = 1800 * 10**6  # each event opens a 30-minute activity interval
+
+
+@register(
+    "r19_interval_merge",
+    f"""
+    WITH iv AS (
+        SELECT user_id,
+               CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS s,
+               CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) + {_IV_LEN_US} AS e,
+               event_id
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    OR MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(COUNT(DISTINCT island) AS BIGINT) AS n_intervals,
+           CAST(SUM(len) AS BIGINT) AS covered_us
+    FROM (
+        SELECT user_id, island, MAX(e) - MIN(s) AS len
+        FROM islands GROUP BY user_id, island
+    ) t GROUP BY user_id
+    """,
+    doc="Overlapping-interval union: each event opens a 30-minute "
+    "activity interval; merge overlaps per user and report merged-"
+    "interval count + total covered time. Gaps-and-islands with a "
+    "RUNNING MAX END (frame-excluded window) — the standard interval-"
+    "merge identity that handles an interval fully nested inside an "
+    "earlier longer one, where comparing against lag(e) alone fails. "
+    "One shuffle; all integer µs arithmetic. (Session windows q40 "
+    "merge by inter-EVENT gap; this merges by actual interval "
+    "overlap — e.g. billing/coverage semantics.)",
+)
+def r19_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    eu = epoch_us("ts")
+    iv = events.select(
+        "user_id",
+        eu.alias("s"),
+        (eu + F.lit(_IV_LEN_US)).alias("e"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max_e = F.max("e").over(w_prev)
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_run).alias("island")
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("len")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.countDistinct("island").cast("bigint").alias("n_intervals"),
+        F.sum("len").cast("bigint").alias("covered_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r20 — per-label embedding centroids (long format)
+# ---------------------------------------------------------------------------
+
+@register(
+    "r20_label_centroids",
+    """
+    WITH x AS (
+        SELECT label, t.i - 1 AS dim,
+               CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(27,10)) AS v
+        FROM embeddings,
+             UNNEST(generate_series(1, len(embedding))) AS t(i)
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(AVG(v), 6) AS DOUBLE) AS centroid
+    FROM x GROUP BY label, dim
+    """,
+    doc="Per-label embedding centroids in long format — the assignment "
+    "step's companion in any k-means/IVF pipeline (q86 trains cells "
+    "from samples; this reduces the FULL corpus per label). posexplode "
+    "keeps dimension indices; components go float→double→DECIMAL(27,10) "
+    "before AVG so the accumulation is order-independent (D1 applied "
+    "to vector components), surfaced ROUND 6. One shuffle on (label, "
+    "dim) — at 100 TB this is the map-side-combinable centroid "
+    "reduction, 64·|labels| output rows.",
+)
+def r20_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "label",
+        "dim",
+        F.col("v").cast("double").cast("decimal(27,10)").alias("v"),
+    )
+    return x.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("v"), 6).cast("double").alias("centroid"),
+    )

@@ -612,6 +612,97 @@ class TestContainment:
         assert len(sw & lw) >= 0.9 * len(sw)
 
 
+class TestTriangles:
+    def test_planted_triangle(self, spark, tmp_path):
+        # orders making edges (1,2),(2,3),(1,3) [triangle] + (3,4)
+        # each pair needs >= 2 shared orders to become an edge
+        baskets = [
+            (10, [1, 2, 3]), (11, [1, 2, 3]),  # edges 1-2, 2-3, 1-3 x2
+            (12, [3, 4]), (13, [3, 4]),        # edge 3-4
+            (14, [4, 5]),                      # below support, no edge
+        ]
+        rows = []
+        for okey, parts in baskets:
+            for i, p in enumerate(parts):
+                rows.append((okey, p, 1, i + 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts(1)))
+        spark.createDataFrame(
+            rows,
+            "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+            "l_linenumber int, l_quantity double, l_extendedprice double, "
+            "l_discount double, l_tax double, l_returnflag string, "
+            "l_linestatus string, l_shipdate timestamp",
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+        from batch_processing_system_spark.queries.wrangling import r18_triangles
+
+        out = r18_triangles(spark, str(tmp_path)).collect()[0]
+        assert (out["n_nodes"], out["n_edges"], out["n_triangles"]) == (4, 4, 1)
+
+
+class TestIntervalMerge:
+    def test_nested_interval_handled(self, spark, tmp_path):
+        """The case lag(e)-based merging gets wrong: a short interval
+        fully nested in an earlier longer one, followed by one that
+        overlaps the LONG one but not the nested one."""
+        base = _ts(1)
+
+        def at(minutes):
+            return base + dt.timedelta(minutes=minutes)
+
+        rows = [
+            (1, at(0), 1, "view", 0.0, "{}"),    # [0, 30)
+            (2, at(5), 1, "view", 0.0, "{}"),    # [5, 35) overlaps
+            (3, at(40), 1, "view", 0.0, "{}"),   # [40, 70) new island
+            (4, at(200), 2, "view", 0.0, "{}"),  # other user
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        from batch_processing_system_spark.queries.wrangling import r19_interval_merge
+
+        out = {r["user_id"]: r for r in r19_interval_merge(spark, sf).collect()}
+        assert out[1]["n_intervals"] == 2
+        assert out[1]["covered_us"] == (35 + 30) * 60 * 10**6
+        assert out[2]["n_intervals"] == 1
+        assert out[2]["covered_us"] == 30 * 60 * 10**6
+
+    def test_chain_merges_transitively(self, spark, tmp_path):
+        base = _ts(2)
+
+        def at(minutes):
+            return base + dt.timedelta(minutes=minutes)
+
+        # each 30-min interval starts 20 min after the previous: one island
+        rows = [
+            (i, at(20 * i), 7, "view", 0.0, "{}") for i in range(5)
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        from batch_processing_system_spark.queries.wrangling import r19_interval_merge
+
+        out = r19_interval_merge(spark, sf).collect()[0]
+        assert out["n_intervals"] == 1
+        assert out["covered_us"] == (20 * 4 + 30) * 60 * 10**6
+
+
+class TestLabelCentroids:
+    def test_hand_computed(self, spark, tmp_path):
+        rows = [
+            (1, [1.0, 2.0], 0),
+            (2, [3.0, 6.0], 0),
+            (3, [10.0, 0.5], 1),
+        ]
+        spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label int"
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+        from batch_processing_system_spark.queries.wrangling import r20_label_centroids
+
+        out = {
+            (r["label"], r["dim"]): r
+            for r in r20_label_centroids(spark, str(tmp_path)).collect()
+        }
+        assert out[(0, 0)]["centroid"] == 2.0 and out[(0, 0)]["n"] == 2
+        assert out[(0, 1)]["centroid"] == 4.0
+        assert out[(1, 0)]["centroid"] == 10.0
+        assert out[(1, 1)]["centroid"] == 0.5
+
+
 class TestPercentileMargins:
     def test_rounding_margin_at_sf001(self, spark):
         """The 4dp ROUND is only hash-safe if no true percentile sits
