@@ -1249,3 +1249,104 @@ def r20_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("v"), 6).cast("double").alias("centroid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r21 — grouped linear regression (closed form, exact-decimal sums)
+# ---------------------------------------------------------------------------
+
+@register(
+    "r21_grouped_regression",
+    """
+    WITH m AS (
+        SELECT MIN(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)) AS mn
+        FROM events
+    ),
+    e AS (
+        SELECT event_type,
+               CAST(CAST(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) - m.mn
+                         AS DECIMAL(21,6))
+                    * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(15,6)) AS x,
+               CAST(value AS DECIMAL(10,2)) AS y
+        FROM events, m WHERE value IS NOT NULL
+    ),
+    s AS (
+        SELECT event_type, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(CAST(x AS DECIMAL(19,6)) * x) AS sxx,
+               SUM(CAST(x AS DECIMAL(19,6)) * y) AS sxy,
+               SUM(CAST(y AS DECIMAL(19,2)) * y) AS syy
+        FROM e GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(ROUND(86400.0
+               * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+               AS DOUBLE) AS slope_per_day,
+           CAST(ROUND((CAST(sy AS DOUBLE)
+               - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE), 6) AS DOUBLE) AS intercept
+    FROM s
+    """,
+    doc="Per-group ordinary least squares of value against time "
+    "(seconds since the corpus min, so x² stays inside DECIMAL(38) "
+    "headroom): the sufficient statistics Σx Σy Σx² Σxy Σy² "
+    "accumulate as EXACT decimals (order-independent — the D1 "
+    "discipline applied to regression; x itself is built from "
+    "integer µs via an exact 1e-6 decimal literal, no float). The "
+    "closed form then runs in doubles — and unlike r16's integer "
+    "ratios this CANNOT ship unrounded: decimal→double conversion "
+    "itself differs by 1 ulp across engines (measured here: Spark's "
+    "correctly-rounded BigDecimal vs DuckDB's int128·10⁻ˢ two-step), "
+    "so the slope is reported per-DAY (natural trend units that lift "
+    "~1e-6/s magnitudes into ROUND-able range) at 6dp with a "
+    "measured boundary margin. Spark's built-in regr_slope "
+    "accumulates doubles in partition order — not hash-comparable; "
+    "this is the deterministic formulation. One shuffle (the grouped "
+    "sums), map-side combinable.",
+)
+def r21_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    eu = epoch_us("ts")
+    # bounded-collect: single global scalar (min timestamp)
+    mn = events.agg(F.min(eu).alias("mn")).collect()[0]["mn"]
+    e = events.where(F.col("value").isNotNull()).select(
+        "event_type",
+        # exact decimal seconds: integer µs scaled by an exact 1e-6
+        # decimal literal (sub-µs digits are zero, so the final cast to
+        # scale 6 drops only zeros) — no float touches x
+        (
+            (eu - F.lit(mn)).cast("decimal(21,6)")
+            * F.lit("0.000001").cast("decimal(7,6)")
+        )
+        .cast("decimal(15,6)")
+        .alias("x"),
+        F.col("value").cast("decimal(10,2)").alias("y"),
+    )
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope * F.lit(86400.0), 6).cast("double").alias("slope_per_day"),
+        F.round((sy - slope * sx) / nd, 6).cast("double").alias("intercept"),
+    )

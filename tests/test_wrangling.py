@@ -703,6 +703,56 @@ class TestLabelCentroids:
         assert out[(1, 1)]["centroid"] == 0.5
 
 
+class TestGroupedRegression:
+    def test_perfect_line_recovered(self, spark, tmp_path):
+        # y = 2*x_seconds + 5 exactly -> slope_per_day = 2*86400
+        base = _ts(1)
+        rows = []
+        for i in range(6):
+            x_s = 600 * i
+            rows.append(
+                (i, base + dt.timedelta(seconds=x_s), 1, "view",
+                 2.0 * x_s + 5.0, "{}")
+            )
+        sf = _write_events(spark, tmp_path, rows)
+        from batch_processing_system_spark.queries.wrangling import (
+            r21_grouped_regression,
+        )
+
+        out = r21_grouped_regression(spark, sf).collect()[0]
+        assert out["n"] == 6
+        assert out["slope_per_day"] == pytest.approx(2.0 * 86400, abs=1e-4)
+        assert out["intercept"] == pytest.approx(5.0, abs=1e-6)
+
+    def test_rounding_margins_on_real_data(self):
+        import duckdb
+
+        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            rows = duckdb.sql(
+                f"""
+                WITH m AS (SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS mn
+                           FROM read_parquet('{sf}/events.parquet')),
+                e AS (
+                    SELECT event_type,
+                           CAST(epoch_us(CAST(ts AS TIMESTAMP)) - m.mn AS DOUBLE)
+                               / 1000000.0 AS x,
+                           CAST(value AS DOUBLE) AS y
+                    FROM read_parquet('{sf}/events.parquet'), m
+                    WHERE value IS NOT NULL
+                ),
+                s AS (SELECT event_type, COUNT(*) n, SUM(x) sx, SUM(y) sy,
+                             SUM(x*x) sxx, SUM(x*y) sxy FROM e GROUP BY 1)
+                SELECT 86400.0 * (n*sxy - sx*sy) / (n*sxx - sx*sx) AS spd,
+                       (sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n AS icp
+                FROM s
+                """
+            ).fetchall()
+            for spd, icp in rows:
+                for v in (spd, icp):
+                    margin = abs(v * 10**6 - round(v * 10**6) - 0.5)
+                    assert margin > 1e-4, (sf, v, margin)
+
+
 class TestPercentileMargins:
     def test_rounding_margin_at_sf001(self, spark):
         """The 4dp ROUND is only hash-safe if no true percentile sits
