@@ -1091,28 +1091,23 @@ def r18_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb")
         .localCheckpoint(eager=True)  # three consumers below
     )
-    nodes = (
+    nodes_df = (
         e.select(F.col("pa").alias("v"))
         .unionAll(e.select(F.col("pb").alias("v")))
-        .distinct()
-        .count()
+        .agg(F.countDistinct("v").cast("bigint").alias("n_nodes"))
     )
-    n_edges = e.count()
+    edges_df = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     e1 = e.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
     e2 = e.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
     e3 = e.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"]).count()
-    import pandas as pd  # one-row result assembled driver-side
-
-    return spark.createDataFrame(
-        pd.DataFrame(
-            [{"n_nodes": nodes, "n_edges": n_edges, "n_triangles": tri}]
-        )
-    ).select(
-        F.col("n_nodes").cast("bigint"),
-        F.col("n_edges").cast("bigint"),
-        F.col("n_triangles").cast("bigint"),
+    tri_df = (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
+    # three single-row aggregates cross-joined: one declarative plan,
+    # no driver-side assembly
+    return nodes_df.crossJoin(edges_df).crossJoin(tri_df)
 
 
 # ---------------------------------------------------------------------------
