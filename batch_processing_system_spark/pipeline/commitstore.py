@@ -227,3 +227,41 @@ def vacuum(root: str) -> list[str]:
             os.unlink(path)
             removed.append(path)
     return removed
+
+
+def compact(
+    spark: SparkSession,
+    root: str,
+    n_buckets: int | None = None,
+    _crash_point: str | None = None,
+) -> int:
+    """OPTIMIZE/rebucket: rewrite the CURRENT snapshot as one fresh
+    stage (optionally with a new bucket count) and commit it as the
+    next version — the lakehouse table-maintenance primitive that
+    consolidates the stage sprawl incremental upserts leave behind
+    (after compaction + vacuum the store is one stage again) and lets
+    the bucket count evolve as the table grows, without ever blocking
+    readers: they stay on the old manifest until the single atomic
+    commit, and a crash at any point leaves the old version current.
+
+    Optimistic concurrency like upsert_store: if another writer
+    commits between our snapshot read and our commit, _commit raises
+    CommitConflict and the (idempotent, content-preserving) compaction
+    can simply be retried. Returns the new version number.
+    """
+    base_version = current_version(root)
+    if not base_version:
+        raise ValueError(f"no committed manifest in {root}")
+    manifest = _read_manifest(root, base_version)
+    target_buckets = n_buckets or manifest["n_buckets"]
+    snapshot = read_store(spark, root, base_version).drop(BUCKET_COL)
+    stage, present = _write_stage(snapshot, root, target_buckets)
+    if _crash_point == "after_stage":
+        raise RuntimeError("injected crash: compaction staged, not committed")
+    new_manifest = {
+        "version": base_version + 1,
+        "n_buckets": target_buckets,
+        "buckets": {str(b): f"{stage}/{BUCKET_COL}={b}" for b in present},
+    }
+    _commit(root, new_manifest)
+    return base_version + 1

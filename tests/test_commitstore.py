@@ -156,3 +156,86 @@ class TestCommitConflict:
         state = _snapshot(spark, root)
         assert state["doc-0003"] == ("completed", 1)
         assert state["doc-0005"] == ("completed", 1)
+
+
+class TestCompact:
+    def _fragmented_store(self, spark, tmp_path):
+        """init + three upserts -> four live stage generations."""
+        root = str(tmp_path / "store")
+        init_store(_docs(spark), root, n_buckets=8)
+        for ids in ([1, 2], [10, 11, 12], [30]):
+            upsert_store(spark, root, _updates(spark, ids))
+        return root
+
+    def test_content_preserved_and_stages_collapse(self, spark, tmp_path):
+        from batch_processing_system_spark.pipeline.commitstore import compact
+
+        root = self._fragmented_store(spark, tmp_path)
+        before = _snapshot(spark, root)
+        v_before = current_version(root)
+        stages_before = {d for d in os.listdir(root) if d.startswith("stage-")}
+        assert len(stages_before) >= 4  # init + 3 upserts
+
+        v = compact(spark, root)
+        assert v == v_before + 1
+        assert _snapshot(spark, root) == before
+        vacuum(root)
+        live = {d for d in os.listdir(root) if d.startswith("stage-")}
+        assert len(live) == 1  # one consolidated stage after vacuum
+
+    def test_rebucket_changes_bucket_count(self, spark, tmp_path):
+        from batch_processing_system_spark.pipeline.commitstore import (
+            _read_manifest,
+            compact,
+        )
+
+        root = self._fragmented_store(spark, tmp_path)
+        before = _snapshot(spark, root)
+        v = compact(spark, root, n_buckets=4)
+        m = _read_manifest(root, v)
+        assert m["n_buckets"] == 4
+        assert len(m["buckets"]) <= 4
+        assert _snapshot(spark, root) == before
+
+    def test_crash_before_commit_leaves_old_version(self, spark, tmp_path):
+        from batch_processing_system_spark.pipeline.commitstore import compact
+
+        root = self._fragmented_store(spark, tmp_path)
+        before = _snapshot(spark, root)
+        v_before = current_version(root)
+        with pytest.raises(RuntimeError, match="staged, not committed"):
+            compact(spark, root, _crash_point="after_stage")
+        assert current_version(root) == v_before
+        assert _snapshot(spark, root) == before
+        # the orphaned compaction stage is vacuum's to reclaim
+        assert vacuum(root)
+
+    def test_racing_writer_wins_and_compaction_conflicts(self, spark, tmp_path):
+        from batch_processing_system_spark.pipeline.commitstore import compact
+        from batch_processing_system_spark.pipeline import commitstore as cs
+
+        root = self._fragmented_store(spark, tmp_path)
+
+        real_commit = cs._commit
+        raced = {"done": False}
+
+        def racing_commit(r, manifest):
+            # another writer lands an upsert between compact's snapshot
+            # read and its commit attempt
+            if not raced["done"]:
+                raced["done"] = True
+                upsert_store(spark, root, _updates(spark, [40, 41]))
+            real_commit(r, manifest)
+
+        cs._commit = racing_commit
+        try:
+            with pytest.raises(CommitConflict):
+                compact(spark, root)
+        finally:
+            cs._commit = real_commit
+        # the racer's write survived; a retried compaction then succeeds
+        state = _snapshot(spark, root)
+        assert state["doc-0040"][0] == "completed"
+        v = compact(spark, root)
+        assert current_version(root) == v
+        assert _snapshot(spark, root) == state
