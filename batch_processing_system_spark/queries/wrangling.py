@@ -1345,3 +1345,71 @@ def r21_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope * F.lit(86400.0), 6).cast("double").alias("slope_per_day"),
         F.round((sy - slope * sx) / nd, 6).cast("double").alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r22 — Jaro–Winkler fuzzy matching (cross-implementation parity)
+# ---------------------------------------------------------------------------
+
+_JW_THRESHOLD = 0.815  # measured margin to nearest score: 4.3e-3 at sf0.01
+
+
+@register(
+    "r22_jaro_match",
+    f"""
+    WITH vocab AS (
+        SELECT DISTINCT p_name, regexp_extract(p_name, '[^ ]+$') AS blk
+        FROM part
+    )
+    SELECT a.p_name AS left_name,
+           b.p_name AS right_name,
+           CAST(ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+                AS DOUBLE) AS jw
+    FROM vocab a
+    JOIN vocab b ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= {_JW_THRESHOLD}
+    """,
+    doc="Jaro–Winkler fuzzy matching over the blocked name vocabulary — "
+    "r02's edit-distance complement for transposition-heavy typos "
+    "(JW rewards shared prefixes; Levenshtein charges swaps double). "
+    "The Spark side scores with the repo's OWN pure-Python "
+    "implementation (functions/fuzzy.py, textbook Jaro + Winkler "
+    "boost over 0.7, Arrow-batched) while the oracle uses DuckDB's "
+    "native C++ jaro_winkler_similarity — two independent codebases "
+    "cross-validating to 6dp on every pair, the multimodal "
+    "independent-encoder discipline applied to a scoring function. "
+    "The 0.815 keep-threshold has a measured 4.3e-3 margin to the "
+    "nearest score (a pair sits EXACTLY at 0.8, which is why the "
+    "threshold is not 0.8 — test-pinned); vocabulary-sized pair "
+    "space, like r02.",
+)
+def r22_jaro_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.fuzzy import jaro_winkler_udf
+
+    part = load_table(spark, sf_dir, "part")
+    vocab = (
+        part.select("p_name")
+        .distinct()
+        .withColumn("blk", F.regexp_extract("p_name", "[^ ]+$", 0))
+    )
+    a = vocab.alias("a")
+    b = vocab.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.p_name") < F.col("b.p_name")),
+    )
+    jw = jaro_winkler_udf(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        pairs.select(
+            F.col("a.p_name").alias("left_name"),
+            F.col("b.p_name").alias("right_name"),
+            jw.alias("jw_raw"),
+        )
+        .where(F.col("jw_raw") >= _JW_THRESHOLD)
+        .select(
+            "left_name",
+            "right_name",
+            F.round("jw_raw", 6).cast("double").alias("jw"),
+        )
+    )

@@ -753,6 +753,63 @@ class TestGroupedRegression:
                     assert margin > 1e-4, (sf, v, margin)
 
 
+class TestJaroWinkler:
+    def test_textbook_values(self):
+        from batch_processing_system_spark.functions.fuzzy import jaro_winkler
+
+        assert jaro_winkler("martha", "marhta") == pytest.approx(0.9611111111, abs=1e-9)
+        assert jaro_winkler("dwayne", "duane") == pytest.approx(0.84, abs=1e-9)
+        assert jaro_winkler("dixon", "dicksonx") == pytest.approx(0.8133333333, abs=1e-9)
+        assert jaro_winkler("same", "same") == 1.0
+        assert jaro_winkler("abc", "xyz") == 0.0
+        assert jaro_winkler("", "x") == 0.0
+
+    def test_parity_with_duckdb_on_random_strings(self):
+        """The repo's pure-Python JW and DuckDB's C++ one must agree to
+        double precision — the cross-implementation check r22's oracle
+        relies on, exercised beyond the part-name vocabulary."""
+        import itertools
+        import random
+        import string
+
+        import duckdb
+
+        from batch_processing_system_spark.functions.fuzzy import jaro_winkler
+
+        rng = random.Random(7)
+        words = [
+            "".join(rng.choice(string.ascii_lowercase[:6]) for _ in range(rng.randint(0, 9)))
+            for _ in range(40)
+        ]
+        for a, b in itertools.combinations(words, 2):
+            duck = duckdb.sql(
+                "select jaro_winkler_similarity(?, ?)", params=[a, b]
+            ).fetchone()[0]
+            assert jaro_winkler(a, b) == pytest.approx(duck, abs=1e-12), (a, b)
+
+    def test_threshold_margin(self):
+        """A pair scores EXACTLY 0.8 in this data — the reason r22's
+        threshold is 0.815; pin that the chosen threshold keeps a real
+        margin at both SFs."""
+        import duckdb
+
+        from batch_processing_system_spark.queries.wrangling import _JW_THRESHOLD
+
+        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            m = duckdb.sql(
+                f"""
+                WITH vocab AS (SELECT DISTINCT p_name,
+                        regexp_extract(p_name,'[^ ]+$') blk
+                    FROM read_parquet('{sf}/part.parquet'))
+                SELECT MIN(ABS(jaro_winkler_similarity(a.p_name, b.p_name)
+                               - {_JW_THRESHOLD}))
+                FROM vocab a JOIN vocab b
+                  ON a.blk = b.blk AND a.p_name < b.p_name
+                """
+            ).fetchone()[0]
+            assert m > 1e-3, (sf, m)
+
+
 class TestPercentileMargins:
     def test_rounding_margin_at_sf001(self, spark):
         """The 4dp ROUND is only hash-safe if no true percentile sits

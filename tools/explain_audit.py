@@ -135,6 +135,9 @@ def main() -> None:
         "r08_bpe_tokens",   # X19: the Arrow-batched BPE tokenizer UDF IS
                             # the operator; the oracle hash-checks its
                             # output against an independent implementation
+        "r22_jaro_match",   # X13: the repo's own Jaro-Winkler UDF IS the
+                            # operator, cross-validated against DuckDB's
+                            # native C++ implementation in the oracle
     }
     for name, spec in sorted(REGISTRY.items()):
         if spec.oracle is None or name not in plans:
