@@ -3,7 +3,9 @@
 Scope — the still-image baseline profile:
 
 - both byte orders (``II`` little / ``MM`` big endian)
-- chunky planar config, strip-organized data (any RowsPerStrip)
+- chunky planar config, strip-organized data (any RowsPerStrip) AND
+  tiled layout (TileWidth/TileLength grids with edge-tile padding,
+  the layout large-imagery TIFFs use)
 - compressions: 1 (none), 32773 (PackBits RLE), 5 (LZW — TIFF
   variant: MSB-first bit packing + EARLY code-width change, unlike
   the GIF LZW in multimodal.py), each optionally with Predictor 2
@@ -13,7 +15,7 @@ Scope — the still-image baseline profile:
 - bit depths: 1-bit bilevel, 8-bit, 16-bit (reduced to the high byte,
   the same convention as the PNG 16-bit path)
 
-Everything else (tiles, planar=2, CCITT fax codings, JPEG-in-TIFF,
+Everything else (planar=2, CCITT fax codings, JPEG-in-TIFF,
 floating-point samples) raises ``ValueError``/``NotImplementedError``
 naming the missing piece — the honest-stub discipline of the other
 decoders. Output convention matches them: ``(h, w, 3)`` uint8 RGB
@@ -189,40 +191,68 @@ def decode_tiff_rgb(content: bytes):
     if predictor == 2 and depth != 8:
         raise NotImplementedError("TIFF: predictor 2 only at 8-bit depth here")
 
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if offsets is None or counts is None:
-        raise ValueError("TIFF: missing strip offsets/byte counts")
-    rows_per_strip = one(278, height)
+    def _decode_block(block: bytes, nrows: int, ncols: int) -> bytes:
+        """Decompress + un-predict one strip or tile of nrows×ncols."""
+        if depth == 1:
+            expected = ((ncols + 7) // 8) * nrows
+        else:
+            expected = ncols * spp * (depth // 8) * nrows
+        if compression == 1:
+            if len(block) < expected:
+                raise ValueError("TIFF: uncompressed strip/tile too short")
+            decoded = block[:expected]
+        elif compression == 32773:
+            decoded = _unpackbits(block, expected)
+        else:
+            decoded = _lzw_decode(block, expected)
+        if predictor == 2:
+            arr = np.frombuffer(decoded, dtype=np.uint8).reshape(nrows, ncols, spp)
+            decoded = (
+                np.cumsum(arr, axis=1, dtype=np.uint32).astype(np.uint8).tobytes()
+            )
+        return decoded
+
+    if 322 in tags:  # tiled layout (TileWidth/TileLength/TileOffsets)
+        if depth == 1:
+            raise NotImplementedError("TIFF: tiled bilevel images")
+        tw = one(322)
+        th = one(323)
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        if offsets is None or counts is None:
+            raise ValueError("TIFF: tiled image missing tile offsets/byte counts")
+        across = (width + tw - 1) // tw
+        down = (height + th - 1) // th
+        if len(offsets) < across * down:
+            raise ValueError("TIFF: fewer tiles than the tile grid needs")
+        dt = np.dtype(bo + "u2") if depth == 16 else np.uint8
+        canvas = np.zeros((down * th, across * tw, spp), dtype=dt)
+        for idx in range(across * down):
+            ty, tx = divmod(idx, across)
+            block = bytes(content[offsets[idx] : offsets[idx] + counts[idx]])
+            decoded = _decode_block(block, th, tw)
+            tile = np.frombuffer(decoded, dtype=dt).reshape(th, tw, spp)
+            canvas[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = tile
+        # tiles pad to the grid; crop to the true image size
+        raw = canvas[:height, :width].tobytes()
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if offsets is None or counts is None:
+            raise ValueError("TIFF: missing strip offsets/byte counts")
+        rows_per_strip = one(278, height)
+        raw = bytearray()
+        row = 0
+        for off, cnt in zip(offsets, counts):
+            nrows = min(rows_per_strip, height - row)
+            raw += _decode_block(bytes(content[off : off + cnt]), nrows, width)
+            row += nrows
+        if row < height:
+            raise ValueError("TIFF: strips cover fewer rows than ImageLength")
+        raw = bytes(raw)
 
     if depth == 1:
         row_bytes = (width + 7) // 8
-    else:
-        row_bytes = width * spp * (depth // 8)
-
-    raw = bytearray()
-    row = 0
-    for off, cnt in zip(offsets, counts):
-        nrows = min(rows_per_strip, height - row)
-        expected = row_bytes * nrows
-        strip = bytes(content[off : off + cnt])
-        if compression == 1:
-            if len(strip) < expected:
-                raise ValueError("TIFF: uncompressed strip too short")
-            decoded = strip[:expected]
-        elif compression == 32773:
-            decoded = _unpackbits(strip, expected)
-        else:
-            decoded = _lzw_decode(strip, expected)
-        if predictor == 2:
-            arr = np.frombuffer(decoded, dtype=np.uint8).reshape(nrows, width, spp)
-            decoded = np.cumsum(arr, axis=1, dtype=np.uint32).astype(np.uint8).tobytes()
-        raw += decoded
-        row += nrows
-    if row < height:
-        raise ValueError("TIFF: strips cover fewer rows than ImageLength")
-
-    if depth == 1:
         bits_arr = np.unpackbits(
             np.frombuffer(raw, dtype=np.uint8).reshape(height, row_bytes), axis=1
         )[:, :width]

@@ -98,6 +98,112 @@ def lzw_encode(data: bytes) -> bytes:
     return w.flush()
 
 
+def encode_tiff_tiled(
+    arr: np.ndarray,
+    *,
+    endian: str = "<",
+    tile_w: int = 16,
+    tile_h: int = 16,
+    compression: int = 1,
+    predictor: int = 1,
+    depth: int = 8,
+) -> bytes:
+    """Tiled-layout twin of encode_tiff: arr (h,w,3) RGB or (h,w) gray
+    (depth 8, or 16 via v*257). Edge tiles are padded to the full tile
+    size with zeros, per the TIFF 6.0 tiled-image rules (tags 322/323/
+    324/325 replace the strip tags)."""
+    bo = endian
+    h, w = arr.shape[:2]
+    if arr.ndim == 3:
+        spp, photometric = 3, 2
+        px = arr.astype(np.uint8)
+        bits = [8, 8, 8]
+    elif depth == 16:
+        spp, photometric = 1, 1
+        px = (arr.astype(np.uint16) * 257).astype(np.dtype(bo + "u2"))[:, :, None]
+        bits = [16]
+    else:
+        spp, photometric = 1, 1
+        px = arr.astype(np.uint8)[:, :, None]
+        bits = [8]
+
+    across = (w + tile_w - 1) // tile_w
+    down = (h + tile_h - 1) // tile_h
+    padded = np.zeros((down * tile_h, across * tile_w, spp), dtype=px.dtype)
+    padded[:h, :w] = px
+
+    tiles = []
+    for ty in range(down):
+        for tx in range(across):
+            t = padded[
+                ty * tile_h : (ty + 1) * tile_h, tx * tile_w : (tx + 1) * tile_w
+            ]
+            if predictor == 2:
+                d = t.astype(np.int16)
+                d = np.concatenate([d[:, :1], d[:, 1:] - d[:, :-1]], axis=1)
+                t = (d & 0xFF).astype(np.uint8)
+            blob = t.tobytes()
+            if compression == 32773:
+                rows = [
+                    t[y].tobytes() for y in range(tile_h)
+                ]  # PackBits restarts per row, matching the strip writer
+                tiles.append(b"".join(packbits_encode(r) for r in rows))
+            elif compression == 5:
+                tiles.append(lzw_encode(blob))
+            else:
+                tiles.append(blob)
+
+    header = struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42, 8)
+    entries = [
+        (256, 4, [w]),
+        (257, 4, [h]),
+        (258, 3, bits),
+        (259, 3, [compression]),
+        (262, 3, [photometric]),
+        (277, 3, [spp]),
+        (322, 4, [tile_w]),
+        (323, 4, [tile_h]),
+        (325, 4, [len(t) for t in tiles]),
+    ]
+    if predictor != 1:
+        entries.append((317, 3, [predictor]))
+
+    n_entries = len(entries) + 1  # + TileOffsets
+    ifd_size = 2 + 12 * n_entries + 4
+    overflow_at = 8 + ifd_size
+    entries = entries + [(324, 4, [0] * len(tiles))]
+    entries.sort(key=lambda e: e[0])
+
+    blobs = {}
+    for tag, typ, vals in entries:
+        _head, payload = _ifd_entry(bo, tag, typ, vals)
+        if payload is not None:
+            blobs[tag] = len(payload)
+    data_at = overflow_at + sum(blobs.values())
+    offs = []
+    pos = data_at
+    for t in tiles:
+        offs.append(pos)
+        pos += len(t)
+    entries = [
+        (tag, typ, offs if tag == 324 else vals) for tag, typ, vals in entries
+    ]
+
+    ifd = struct.pack(bo + "H", n_entries)
+    overflow = bytearray()
+    overflow_pos = overflow_at
+    for tag, typ, vals in entries:
+        head, payload = _ifd_entry(bo, tag, typ, vals)
+        if payload is None:
+            ifd += head
+        else:
+            ifd += head + struct.pack(bo + "I", overflow_pos)
+            overflow += payload
+            overflow_pos += len(payload)
+    ifd += struct.pack(bo + "I", 0)
+    return header + ifd + bytes(overflow) + b"".join(tiles)
+
+
 def _ifd_entry(bo, tag, typ, values):
     sizes = {3: 2, 4: 4}
     fmt = {3: "H", 4: "I"}[typ]

@@ -16,7 +16,12 @@ from batch_processing_system_spark.functions.tiff import (
     _unpackbits,
     decode_tiff_rgb,
 )
-from tests._tiff_encoder import encode_tiff, lzw_encode, packbits_encode
+from tests._tiff_encoder import (
+    encode_tiff,
+    encode_tiff_tiled,
+    lzw_encode,
+    packbits_encode,
+)
 
 
 def _gradient_rgb(h, w):
@@ -113,6 +118,68 @@ class TestDecode:
             out = decode_tiff_rgb(encode_tiff(g, depth=16, endian=endian))
             # encoder widens v -> v*257, so the high byte is exactly v
             assert np.array_equal(out, _rgbify_gray(g)), endian
+
+    @pytest.mark.parametrize("endian", ["<", ">"])
+    @pytest.mark.parametrize("compression", [1, 5, 32773])
+    def test_tiled_rgb_all_compressions(self, endian, compression):
+        # 29x21 with 16x16 tiles: a 2x2 grid where the right/bottom
+        # edge tiles carry pad that must be cropped away
+        img = _gradient_rgb(21, 29)
+        data = encode_tiff_tiled(
+            img, endian=endian, compression=compression, tile_w=16, tile_h=16
+        )
+        out = decode_tiff_rgb(data)
+        assert out is not None and np.array_equal(out, img)
+
+    def test_tiled_exact_grid_and_single_tile(self):
+        img = _gradient_rgb(32, 16)  # exact multiple: no pad path
+        assert np.array_equal(
+            decode_tiff_rgb(encode_tiff_tiled(img, tile_w=16, tile_h=16)), img
+        )
+        small = _gradient_rgb(5, 7)  # whole image inside one padded tile
+        assert np.array_equal(
+            decode_tiff_rgb(encode_tiff_tiled(small, tile_w=16, tile_h=16)), small
+        )
+
+    @pytest.mark.parametrize("compression", [5, 32773])
+    def test_tiled_predictor2(self, compression):
+        img = _gradient_rgb(18, 20)
+        data = encode_tiff_tiled(
+            img, compression=compression, predictor=2, tile_w=16, tile_h=16
+        )
+        assert np.array_equal(decode_tiff_rgb(data), img)
+
+    def test_tiled_gray_and_gray16(self):
+        g = _gray(19, 23)
+        assert np.array_equal(
+            decode_tiff_rgb(encode_tiff_tiled(g, tile_w=16, tile_h=16)),
+            _rgbify_gray(g),
+        )
+        for endian in ("<", ">"):
+            out = decode_tiff_rgb(
+                encode_tiff_tiled(g, depth=16, endian=endian, tile_w=16, tile_h=16)
+            )
+            assert np.array_equal(out, _rgbify_gray(g)), endian
+
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        compression=st.sampled_from([1, 5, 32773]),
+        endian=st.sampled_from(["<", ">"]),
+        tw=st.sampled_from([16, 32]),
+        th=st.sampled_from([16, 32]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_tiled_random_images(self, h, w, compression, endian, tw, th, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = decode_tiff_rgb(
+            encode_tiff_tiled(
+                img, endian=endian, compression=compression, tile_w=tw, tile_h=th
+            )
+        )
+        assert np.array_equal(out, img)
 
     def test_non_tiff_returns_none(self):
         assert decode_tiff_rgb(b"\x89PNG\r\n\x1a\nxxxxxxx") is None
