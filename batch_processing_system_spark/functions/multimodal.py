@@ -444,20 +444,24 @@ def _ima_adpcm_decode(data: bytes, channels: int, block_align: int):
 def _wav_pcm(content: bytes):
     """Walk RIFF chunks of a WAV and return (sample_rate, channels,
     bits, samples ndarray normalized to [-1, 1] mono) — pure
-    struct+numpy. Integer PCM (8/16-bit) is read directly; IMA/DVI
-    ADPCM (format tag 0x11 — the classic 4:1 compressed-audio WAV) is
-    decoded by _ima_adpcm_decode. None for anything else."""
+    struct+numpy. Integer PCM (8/16/24/32-bit) and IEEE-float PCM
+    (format tag 3, 32/64-bit) are read directly; IMA/DVI ADPCM
+    (format tag 0x11 — the classic 4:1 compressed-audio WAV) is
+    decoded by _ima_adpcm_decode; WAVE_FORMAT_EXTENSIBLE (0xFFFE)
+    unwraps to the real tag from the fmt extension's SubFormat GUID.
+    None for anything else."""
     import numpy as np
 
     if not content or len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         return None
-    pos, fmt, data = 12, None, None
+    pos, fmt, fmt_body, data = 12, None, b"", None
     while pos + 8 <= len(content):
         cid = content[pos : pos + 4]
         size = struct.unpack("<I", content[pos + 4 : pos + 8])[0]
         body = content[pos + 8 : pos + 8 + size]
         if cid == b"fmt " and len(body) >= 16:
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks pad to even offsets
@@ -466,6 +470,10 @@ def _wav_pcm(content: bytes):
     audio_fmt, channels, sample_rate, _, block_align, bits = fmt
     if channels < 1:
         return None
+    if audio_fmt == 0xFFFE and len(fmt_body) >= 40:
+        # EXTENSIBLE: cbSize(2) validbits(2) channelmask(4) SubFormat
+        # GUID(16); the GUID's first two bytes are the wrapped tag
+        audio_fmt = struct.unpack("<H", fmt_body[24:26])[0]
     if audio_fmt == 0x11 and bits == 4 and block_align >= 4 * channels:
         raw16 = _ima_adpcm_decode(data, channels, block_align)
         x = raw16.astype(np.float64) / 32768.0
@@ -475,6 +483,24 @@ def _wav_pcm(content: bytes):
     elif audio_fmt == 1 and bits == 8:  # 8-bit PCM is unsigned
         raw = np.frombuffer(data, dtype=np.uint8)
         x = (raw.astype(np.float64) - 128.0) / 128.0
+    elif audio_fmt == 1 and bits == 24:
+        # 3-byte little-endian signed: widen to int32 via a zero pad
+        # byte then an arithmetic shift (keeps the sign bit)
+        n3 = len(data) - len(data) % 3
+        b3 = np.frombuffer(data[:n3], dtype=np.uint8).reshape(-1, 3)
+        b4 = np.zeros((b3.shape[0], 4), dtype=np.uint8)
+        b4[:, 1:] = b3
+        raw = b4.view("<i4").reshape(-1) >> 8
+        x = raw.astype(np.float64) / float(1 << 23)
+    elif audio_fmt == 1 and bits == 32:
+        raw = np.frombuffer(data, dtype="<i4", count=len(data) // 4)
+        x = raw.astype(np.float64) / float(1 << 31)
+    elif audio_fmt == 3 and bits == 32:  # IEEE float
+        x = np.frombuffer(data, dtype="<f4", count=len(data) // 4).astype(
+            np.float64
+        )
+    elif audio_fmt == 3 and bits == 64:
+        x = np.frombuffer(data, dtype="<f8", count=len(data) // 8).copy()
     else:
         return None
     n = (len(x) // channels) * channels
@@ -527,8 +553,8 @@ def extract_audio_features(binary_df: DataFrame) -> DataFrame:
                 dec = _audio_mono(bytes(content) if content is not None else b"")
                 if dec is None:
                     raise NotImplementedError(
-                        f"extract_audio_features: {path!r} is not integer-PCM/"
-                        "IMA-ADPCM WAV or native FLAC; perceptual audio (mp3/"
+                        f"extract_audio_features: {path!r} is not integer/"
+                        "float-PCM/IMA-ADPCM WAV or native FLAC; perceptual audio (mp3/"
                         "aac/ogg) needs a codec library (e.g. soundfile/"
                         "ffmpeg), not installed here"
                     )
@@ -761,7 +787,7 @@ def extract_decode_stats(binary_df: DataFrame) -> DataFrame:
     - animated GIF and MJPEG-in-AVI: kind='video', first-frame
       dimensions, n_frames = frame count, sha256 over the concatenated
       composed-frame RGB bytes;
-    - WAV (integer PCM / IMA ADPCM): kind='audio', n_frames = decoded
+    - WAV (integer/float PCM / IMA ADPCM): kind='audio', n_frames = decoded
       mono sample count, sha256 of the float64 mono sample buffer.
 
     ALWAYS the repo's pure decoders — never Pillow, even when
@@ -799,7 +825,7 @@ def extract_decode_stats(binary_df: DataFrame) -> DataFrame:
                     if decoded is None:
                         raise NotImplementedError(
                             f"extract_decode_stats: {path!r} WAV format is "
-                            "not integer PCM or IMA ADPCM"
+                            "not integer/float PCM or IMA ADPCM"
                         )
                     _, _, _, mono = decoded
                     rows.append(

@@ -227,6 +227,95 @@ class TestAudioFeatures:
             extract_audio_features(df).collect()
 
 
+def _wav_container(fmt_body: bytes, data: bytes) -> bytes:
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+class TestWavSampleFormats:
+    """_wav_pcm against hand-packed WAV bytes: 24/32-bit integer PCM,
+    IEEE float32/float64 (format tag 3), and WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE) unwrapping — each with exactly-representable samples so
+    the normalized mono can be asserted bit-for-bit."""
+
+    def _decode(self, wav):
+        from batch_processing_system_spark.functions.multimodal import _wav_pcm
+
+        return _wav_pcm(wav)
+
+    def test_pcm24(self):
+        import numpy as np
+
+        vals = [1, -1, 0x7FFFFF, -0x800000, 0]
+        data = b"".join(struct.pack("<i", v << 8)[1:] for v in vals)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+        sr, ch, bits, mono = self._decode(_wav_container(fmt, data))
+        assert (sr, ch, bits) == (8000, 1, 24)
+        assert np.array_equal(mono, np.array(vals, dtype=np.float64) / (1 << 23))
+
+    def test_pcm32(self):
+        import numpy as np
+
+        vals = [1, -1, 2**31 - 1, -(2**31), 0]
+        data = b"".join(struct.pack("<i", v) for v in vals)
+        fmt = struct.pack("<HHIIHH", 1, 1, 44100, 44100 * 4, 4, 32)
+        sr, ch, bits, mono = self._decode(_wav_container(fmt, data))
+        assert (sr, ch, bits) == (44100, 1, 32)
+        assert np.array_equal(mono, np.array(vals, dtype=np.float64) / (1 << 31))
+
+    def test_float32_and_float64(self):
+        import numpy as np
+
+        vals = [0.5, -0.25, 1.0, -1.0, 0.0]
+        f32 = b"".join(struct.pack("<f", v) for v in vals)
+        fmt32 = struct.pack("<HHIIHH", 3, 1, 48000, 48000 * 4, 4, 32)
+        sr, ch, bits, mono = self._decode(_wav_container(fmt32, f32))
+        assert (sr, ch, bits) == (48000, 1, 32)
+        assert np.array_equal(mono, np.array(vals))
+
+        f64 = b"".join(struct.pack("<d", v) for v in vals)
+        fmt64 = struct.pack("<HHIIHH", 3, 1, 48000, 48000 * 8, 8, 64)
+        _, _, bits64, mono64 = self._decode(_wav_container(fmt64, f64))
+        assert bits64 == 64 and np.array_equal(mono64, np.array(vals))
+
+    def test_float32_stereo_means_channels(self):
+        import numpy as np
+
+        left, right = [0.5, -0.5, 0.25], [0.25, 0.5, -0.75]
+        data = b"".join(
+            struct.pack("<ff", l, r) for l, r in zip(left, right)
+        )
+        fmt = struct.pack("<HHIIHH", 3, 2, 16000, 16000 * 8, 8, 32)
+        _, ch, _, mono = self._decode(_wav_container(fmt, data))
+        assert ch == 2
+        assert np.array_equal(
+            mono, (np.array(left) + np.array(right)) / 2.0
+        )
+
+    def test_extensible_unwraps_to_float(self):
+        import numpy as np
+
+        vals = [0.125, -0.375]
+        data = b"".join(struct.pack("<f", v) for v in vals)
+        # KSDATAFORMAT_SUBTYPE_IEEE_FLOAT: 00000003-0000-0010-8000-00aa00389b71
+        guid = struct.pack("<HH", 3, 0) + bytes.fromhex("0000100080000000aa00389b71")[:12]
+        fmt = (
+            struct.pack("<HHIIHH", 0xFFFE, 1, 22050, 22050 * 4, 4, 32)
+            + struct.pack("<HHI", 22, 32, 0x4)  # cbSize, valid bits, mask
+            + guid
+        )
+        sr, ch, bits, mono = self._decode(_wav_container(fmt, data))
+        assert (sr, ch, bits) == (22050, 1, 32)
+        assert np.array_equal(mono, np.array(vals))
+
+    def test_unknown_format_returns_none(self):
+        fmt = struct.pack("<HHIIHH", 0x55, 1, 8000, 1000, 1, 0)  # MP3 tag
+        assert self._decode(_wav_container(fmt, b"\x00" * 64)) is None
+
+
 class TestFrameSampling:
     def _two_frame_gif(self):
         f0 = [0, 1, 2, 3]  # 2x2: red green / blue white
