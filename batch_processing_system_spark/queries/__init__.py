@@ -77,6 +77,7 @@ def _ensure_loaded() -> None:
         retrieval,
         media,
         wrangling,
+        graphs,
         tokenize,
     )
 

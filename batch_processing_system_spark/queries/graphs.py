@@ -1,0 +1,147 @@
+"""Graph analytics — iterative rank propagation (round 6, fourth
+operator block).
+
+r18 (triangles) and q74/q87/q92 (connected components) cover the
+combinatorial side of graph work; this module adds the numeric side:
+PageRank over the customer↔supplier trade graph. The engine shape is
+Pregel-lite — rank state joined to a static edge list once per
+superstep — the canonical distributed formulation Spark expresses
+directly as join+groupBy per iteration.
+
+Determinism discipline (the repo's D-rules): ranks are FIXED-POINT
+BIGINT micro-mass, never doubles. Every step is integer arithmetic —
+``rank div deg`` for contributions, ``(15*base + 85*inc) div 100`` for
+damping — so Spark and DuckDB agree bit-for-bit regardless of float
+summation order, and the oracle is hash-exact with no rounding-margin
+analysis. (Floor division leaks a few units of mass per step; the leak
+is part of the defined algorithm, identically computed by both
+engines.)
+
+Provenance: EXT (general batch-engine surface; the reference spec at
+/root/reference/README.md has no graph machinery). Name sorts after
+q50 — the driver's CORRECTNESS window stays q01-q50 (STATUS.md
+name-freeze).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine.io import load_table
+from . import register
+
+_MASS = 10**12  # total rank mass, in integer micro-units
+_ITERS = 5
+_TOPK = 25
+
+
+def _pagerank_sql() -> str:
+    """Chained-CTE oracle: the K supersteps unrolled (standard SQL has
+    no aggregate-in-recursive-CTE, so unrolling IS the portable form)."""
+    step = """
+    {out} AS (
+        SELECT d.node, d.deg,
+               (15 * (SELECT base FROM n) + 85 * COALESCE(m.inc, 0)) // 100
+                   AS rank
+        FROM deg d
+        LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.rank // r.deg) AS inc
+            FROM edges e JOIN {inp} r ON e.src = r.node
+            GROUP BY 1
+        ) m USING (node)
+    )"""
+    chain = ",".join(
+        step.format(out=f"i{k}", inp=("r0" if k == 1 else f"i{k-1}"))
+        for k in range(1, _ITERS + 1)
+    )
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT 'C' || CAST(c AS VARCHAR) AS src,
+               'S' || CAST(s AS VARCHAR) AS dst FROM pairs
+        UNION ALL
+        SELECT 'S' || CAST(s AS VARCHAR), 'C' || CAST(c AS VARCHAR)
+        FROM pairs
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+    n AS (SELECT CAST({_MASS} AS BIGINT) // COUNT(*) AS base FROM deg),
+    r0 AS (SELECT node, deg, (SELECT base FROM n) AS rank FROM deg),
+    {chain}
+    SELECT node, CAST(rank AS BIGINT) AS rank
+    FROM i{_ITERS}
+    ORDER BY rank DESC, node
+    LIMIT {_TOPK}
+    """
+
+
+@register(
+    "r23_pagerank",
+    _pagerank_sql(),
+    doc="PageRank (damping 0.85, 5 supersteps, fixed-point BIGINT "
+    "mass) over the symmetric customer↔supplier trade graph "
+    "(distinct order-derived pairs). Spark runs the Pregel shape: a "
+    "static localCheckpointed edge list joined to the rank state "
+    "each superstep, contributions grouped on dst, LEFT-joined back "
+    "to the node list so isolated-in-degree nodes keep damped base "
+    "mass. All-integer arithmetic makes the result hash-exact vs the "
+    "unrolled-CTE oracle with no float-order caveats. At 100 TB: "
+    "edges hash-partition on src once and stay put; each superstep "
+    "shuffles only the node-sized rank state (broadcastable when "
+    "nodes ≪ edges — the hint below does exactly that), and the "
+    "iteration count is fixed, not data-dependent.",
+)
+def r23_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    cnode = F.concat(F.lit("C"), F.col("c").cast("string"))
+    snode = F.concat(F.lit("S"), F.col("s").cast("string"))
+    edges = (
+        pairs.select(cnode.alias("src"), snode.alias("dst"))
+        .unionAll(pairs.select(snode.alias("src"), cnode.alias("dst")))
+        # consumed once per superstep: materialize the join pipeline
+        # once (the q74/r18 localCheckpoint discipline)
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)  # node-sized; read every superstep
+    )
+    n_nodes = deg.count()  # driver-side scalar: node count, bounded
+    base = _MASS // n_nodes
+    ranks = deg.select("node", "deg", F.lit(base).cast("bigint").alias("rank"))
+    for _ in range(_ITERS):
+        inc = (
+            edges.join(F.broadcast(ranks), edges.src == ranks.node)
+            .select(F.col("dst").alias("node"), F.expr("rank div deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inc"))
+        )
+        ranks = (
+            deg.join(inc, "node", "left")
+            .select(
+                "node",
+                "deg",
+                F.expr(
+                    f"(CAST({15 * base} AS BIGINT)"
+                    " + 85 * coalesce(inc, CAST(0 AS BIGINT))) div 100"
+                ).alias("rank"),
+            )
+            # truncate lineage per superstep: without this, iteration
+            # k's broadcast re-executes supersteps 1..k-1 (quadratic)
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.select("node", F.col("rank").cast("bigint").alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(_TOPK)
+    )
