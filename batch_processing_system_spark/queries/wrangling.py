@@ -1413,3 +1413,62 @@ def r22_jaro_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("jw_raw", 6).cast("double").alias("jw"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r24 — exponentially weighted moving average (per-user daily series)
+# ---------------------------------------------------------------------------
+
+@register(
+    "r24_ewma",
+    """
+    WITH daily AS (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT user_id,
+               list(CAST(cnt AS DOUBLE) ORDER BY day) AS c,
+               COUNT(*) AS n_days
+        FROM daily GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n_days AS BIGINT) AS n_days,
+           list_reduce(c, (acc, x) -> 0.5*acc + 0.5*x) AS ewma
+    FROM series
+    """,
+    doc="Per-user EWMA of the daily event-count series (alpha = 0.5, "
+    "y_t = 0.5*y_{t-1} + 0.5*x_t, y_1 = x_1) — the standard "
+    "recency-weighted activity signal. The recurrence is inherently "
+    "sequential, so it runs as a JVM higher-order fold over the "
+    "sorted per-user array (aggregate(slice..)), NOT a window: one "
+    "shuffle for the daily agg, one for the collect, array length "
+    "bounded by span-days per user. Cross-engine exactness with NO "
+    "rounding: both sides execute the IDENTICAL left-fold IEEE "
+    "sequence (Spark aggregate ≡ DuckDB list_reduce, init = first "
+    "element), and alpha = 0.5 makes every step a dyadic-rational "
+    "halving — float summation ORDER, the usual hazard, cannot vary "
+    "because a fold has exactly one order.",
+)
+def r24_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    series = daily.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, cnt))),"
+            " p -> cast(p.cnt as double))"
+        ).alias("c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    return series.select(
+        "user_id",
+        "n_days",
+        F.expr(
+            "aggregate(slice(c, 2, size(c)-1), c[0],"
+            " (acc, x) -> 0.5*acc + 0.5*x)"
+        ).alias("ewma"),
+    )

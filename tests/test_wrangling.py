@@ -831,3 +831,55 @@ class TestPercentileMargins:
         # distance of scaled value to the nearest x.5 rounding boundary;
         # anything >> 1e-9 dwarfs cross-engine lerp noise (~1e-12 scaled)
         assert worst > 1e-6
+
+
+class TestEwma:
+    def test_hand_computed_series(self, spark, tmp_path):
+        # user 1: days 1,2,3 with counts 4, 8, 1:
+        #   y = 4 -> 0.5*4+0.5*8 = 6 -> 0.5*6+0.5*1 = 3.5
+        # user 2: single day, count 2 -> ewma = 2.0 (init = first)
+        rows = []
+        eid = 0
+        for day, n in [(1, 4), (2, 8), (3, 1)]:
+            for _ in range(n):
+                eid += 1
+                rows.append((eid, _ts(day), 1, "view", 1.0, "{}"))
+        for _ in range(2):
+            eid += 1
+            rows.append((eid, _ts(5), 2, "view", 1.0, "{}"))
+        from batch_processing_system_spark.queries.wrangling import r24_ewma
+
+        sf = _write_events(spark, tmp_path, rows)
+        got = {r["user_id"]: (r["n_days"], r["ewma"]) for r in r24_ewma(spark, sf).collect()}
+        assert got == {1: (3, 3.5), 2: (1, 2.0)}
+
+    def test_gap_days_are_skipped_not_zero_filled(self, spark, tmp_path):
+        # days 1 and 10 with counts 2, 6: the 8-day gap contributes
+        # nothing (EWMA over OBSERVED points) -> 0.5*2+0.5*6 = 4.0
+        rows = [
+            (1, _ts(1), 7, "view", 1.0, "{}"),
+            (2, _ts(1, 1), 7, "view", 1.0, "{}"),
+        ] + [(10 + i, _ts(10, i), 7, "view", 1.0, "{}") for i in range(6)]
+        from batch_processing_system_spark.queries.wrangling import r24_ewma
+
+        sf = _write_events(spark, tmp_path, rows)
+        row = r24_ewma(spark, sf).collect()[0]
+        assert (row["n_days"], row["ewma"]) == (2, 4.0)
+
+    def test_fold_is_exact_dyadic(self, spark, tmp_path):
+        # alpha = 0.5 keeps every intermediate a dyadic rational, so
+        # the engine result must equal the pure-Python fold EXACTLY
+        counts = [3, 1, 7, 2, 9, 5, 11, 6]
+        rows = []
+        eid = 0
+        for day, n in enumerate(counts, start=1):
+            for _ in range(n):
+                eid += 1
+                rows.append((eid, _ts(day), 1, "view", 1.0, "{}"))
+        from batch_processing_system_spark.queries.wrangling import r24_ewma
+
+        sf = _write_events(spark, tmp_path, rows)
+        expect = float(counts[0])
+        for x in counts[1:]:
+            expect = 0.5 * expect + 0.5 * x
+        assert r24_ewma(spark, sf).collect()[0]["ewma"] == expect
