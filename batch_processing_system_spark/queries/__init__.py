@@ -78,6 +78,7 @@ def _ensure_loaded() -> None:
         media,
         wrangling,
         graphs,
+        layout,
         tokenize,
     )
 
