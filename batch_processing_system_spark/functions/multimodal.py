@@ -441,6 +441,53 @@ def _ima_adpcm_decode(data: bytes, channels: int, block_align: int):
     return np.array([ch_s[:n] for ch_s in out], dtype=np.int16).T.reshape(-1)
 
 
+def _mulaw_table():
+    """G.711 mu-law byte -> linear int16 (ITU-T G.711 decoder: invert
+    all bits, then ((mantissa<<3 | 0x84) << exponent) - 0x84, signed).
+    256-entry table built once per process."""
+    import numpy as np
+
+    global _MULAW_LUT
+    if _MULAW_LUT is None:
+        out = np.empty(256, dtype=np.int16)
+        for b in range(256):
+            u = ~b & 0xFF
+            sign = u & 0x80
+            exp = (u >> 4) & 0x07
+            mant = u & 0x0F
+            mag = (((mant << 3) | 0x84) << exp) - 0x84
+            out[b] = -mag if sign else mag
+        _MULAW_LUT = out
+    return _MULAW_LUT
+
+
+def _alaw_table():
+    """G.711 A-law byte -> linear int16 (even bits inverted by 0x55;
+    exponent 0 is the linear segment; NOTE the sign convention is the
+    reverse of mu-law: sign bit SET means positive)."""
+    import numpy as np
+
+    global _ALAW_LUT
+    if _ALAW_LUT is None:
+        out = np.empty(256, dtype=np.int16)
+        for b in range(256):
+            a = b ^ 0x55
+            sign = a & 0x80
+            exp = (a >> 4) & 0x07
+            mant = a & 0x0F
+            if exp == 0:
+                mag = (mant << 4) | 0x08
+            else:
+                mag = ((mant << 4) | 0x108) << (exp - 1)
+            out[b] = mag if sign else -mag
+        _ALAW_LUT = out
+    return _ALAW_LUT
+
+
+_MULAW_LUT = None
+_ALAW_LUT = None
+
+
 def _wav_pcm(content: bytes):
     """Walk RIFF chunks of a WAV and return (sample_rate, channels,
     bits, samples ndarray normalized to [-1, 1] mono) — pure
@@ -501,6 +548,10 @@ def _wav_pcm(content: bytes):
         )
     elif audio_fmt == 3 and bits == 64:
         x = np.frombuffer(data, dtype="<f8", count=len(data) // 8).copy()
+    elif audio_fmt in (6, 7) and bits == 8:  # G.711 A-law / mu-law
+        lut = _alaw_table() if audio_fmt == 6 else _mulaw_table()
+        raw = lut[np.frombuffer(data, dtype=np.uint8)]
+        x = raw.astype(np.float64) / 32768.0
     else:
         return None
     n = (len(x) // channels) * channels

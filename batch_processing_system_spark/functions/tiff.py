@@ -8,8 +8,9 @@ Scope — the still-image baseline profile:
   the layout large-imagery TIFFs use)
 - compressions: 1 (none), 32773 (PackBits RLE), 5 (LZW — TIFF
   variant: MSB-first bit packing + EARLY code-width change, unlike
-  the GIF LZW in multimodal.py), each optionally with Predictor 2
-  (horizontal differencing per sample)
+  the GIF LZW in multimodal.py), 8/32946 (Deflate, official and
+  legacy tag, zlib-wrapped per strip/tile), each optionally with
+  Predictor 2 (horizontal differencing per sample)
 - photometric 0/1 (gray, including WhiteIsZero inversion), 2 (RGB),
   3 (palette via ColorMap)
 - bit depths: 1-bit bilevel, 8-bit, 16-bit (reduced to the high byte,
@@ -178,9 +179,9 @@ def decode_tiff_rgb(content: bytes):
     predictor = one(317, 1)
     if planar != 1:
         raise NotImplementedError("TIFF: planar configuration 2 (separate planes)")
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 8, 32946, 32773):
         raise NotImplementedError(
-            f"TIFF: compression {compression} (only none/LZW/PackBits)"
+            f"TIFF: compression {compression} (only none/LZW/Deflate/PackBits)"
         )
     if depth not in (1, 8, 16):
         raise NotImplementedError(f"TIFF: {depth}-bit samples")
@@ -203,6 +204,13 @@ def decode_tiff_rgb(content: bytes):
             decoded = block[:expected]
         elif compression == 32773:
             decoded = _unpackbits(block, expected)
+        elif compression in (8, 32946):  # Deflate (official + legacy tag)
+            import zlib
+
+            decoded = zlib.decompress(block)
+            if len(decoded) < expected:
+                raise ValueError("TIFF: deflate strip/tile shorter than expected")
+            decoded = decoded[:expected]
         else:
             decoded = _lzw_decode(block, expected)
         if predictor == 2:

@@ -150,6 +150,10 @@ def encode_tiff_tiled(
                 tiles.append(b"".join(packbits_encode(r) for r in rows))
             elif compression == 5:
                 tiles.append(lzw_encode(blob))
+            elif compression in (8, 32946):
+                import zlib
+
+                tiles.append(zlib.compress(blob, 6))
             else:
                 tiles.append(blob)
 
@@ -271,6 +275,10 @@ def encode_tiff(
             strips.append(b"".join(packbits_encode(r) for r in rows))
         elif compression == 5:
             strips.append(lzw_encode(blob))
+        elif compression in (8, 32946):
+            import zlib
+
+            strips.append(zlib.compress(blob, 6))
         else:
             strips.append(blob)
 

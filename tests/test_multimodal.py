@@ -315,6 +315,64 @@ class TestWavSampleFormats:
         fmt = struct.pack("<HHIIHH", 0x55, 1, 8000, 1000, 1, 0)  # MP3 tag
         assert self._decode(_wav_container(fmt, b"\x00" * 64)) is None
 
+    def test_g711_tables_match_cpython_audioop(self):
+        # independent reference: CPython's C implementation of the
+        # same ITU-T G.711 tables (stdlib through 3.12)
+        audioop = pytest.importorskip("audioop")
+        import numpy as np
+
+        from batch_processing_system_spark.functions.multimodal import (
+            _alaw_table,
+            _mulaw_table,
+        )
+
+        allb = bytes(range(256))
+        assert np.array_equal(
+            np.frombuffer(audioop.ulaw2lin(allb, 2), dtype="<i2"),
+            _mulaw_table(),
+        )
+        assert np.array_equal(
+            np.frombuffer(audioop.alaw2lin(allb, 2), dtype="<i2"),
+            _alaw_table(),
+        )
+
+    @pytest.mark.parametrize("tag", [6, 7])
+    def test_g711_wav_decodes(self, tag):
+        import numpy as np
+
+        from batch_processing_system_spark.functions.multimodal import (
+            _alaw_table,
+            _mulaw_table,
+        )
+
+        lut = _alaw_table() if tag == 6 else _mulaw_table()
+        data = bytes(range(256))
+        fmt = struct.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
+        sr, ch, bits, mono = self._decode(_wav_container(fmt, data))
+        assert (sr, ch, bits) == (8000, 1, 8)
+        assert np.array_equal(
+            mono, lut[np.frombuffer(data, dtype=np.uint8)] / 32768.0
+        )
+
+    def test_g711_table_structure(self):
+        # encoder-independent invariants of the G.711 tables: full
+        # sign symmetry and strict monotonicity along each sign ray
+        import numpy as np
+
+        from batch_processing_system_spark.functions.multimodal import (
+            _alaw_table,
+            _mulaw_table,
+        )
+
+        for lut in (_mulaw_table(), _alaw_table()):
+            vals = np.sort(lut.astype(np.int32))
+            neg, pos = vals[:128], vals[128:]
+            # symmetric: each negative level mirrors a positive one
+            assert np.array_equal(-neg[::-1], pos)
+            assert len(np.unique(pos)) == 128  # strictly monotone
+        assert int(np.abs(_mulaw_table()).max()) == 32124
+        assert int(np.abs(_alaw_table()).max()) == 32256
+
 
 class TestFrameSampling:
     def _two_frame_gif(self):

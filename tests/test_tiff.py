@@ -68,7 +68,7 @@ class TestCodecs:
 
 class TestDecode:
     @pytest.mark.parametrize("endian", ["<", ">"])
-    @pytest.mark.parametrize("compression", [1, 5, 32773])
+    @pytest.mark.parametrize("compression", [1, 5, 8, 32946, 32773])
     def test_rgb_both_endians_all_compressions(self, endian, compression):
         img = _gradient_rgb(13, 9)
         data = encode_tiff(img, endian=endian, compression=compression)
@@ -81,7 +81,7 @@ class TestDecode:
             out = decode_tiff_rgb(encode_tiff(img, rows_per_strip=rps))
             assert np.array_equal(out, img), rps
 
-    @pytest.mark.parametrize("compression", [5, 32773])
+    @pytest.mark.parametrize("compression", [5, 8, 32773])
     def test_predictor2(self, compression):
         img = _gradient_rgb(7, 16)
         data = encode_tiff(img, compression=compression, predictor=2)
@@ -120,7 +120,7 @@ class TestDecode:
             assert np.array_equal(out, _rgbify_gray(g)), endian
 
     @pytest.mark.parametrize("endian", ["<", ">"])
-    @pytest.mark.parametrize("compression", [1, 5, 32773])
+    @pytest.mark.parametrize("compression", [1, 5, 8, 32946, 32773])
     def test_tiled_rgb_all_compressions(self, endian, compression):
         # 29x21 with 16x16 tiles: a 2x2 grid where the right/bottom
         # edge tiles carry pad that must be cropped away
@@ -141,7 +141,7 @@ class TestDecode:
             decode_tiff_rgb(encode_tiff_tiled(small, tile_w=16, tile_h=16)), small
         )
 
-    @pytest.mark.parametrize("compression", [5, 32773])
+    @pytest.mark.parametrize("compression", [5, 8, 32773])
     def test_tiled_predictor2(self, compression):
         img = _gradient_rgb(18, 20)
         data = encode_tiff_tiled(
@@ -164,7 +164,7 @@ class TestDecode:
     @given(
         h=st.integers(1, 40),
         w=st.integers(1, 40),
-        compression=st.sampled_from([1, 5, 32773]),
+        compression=st.sampled_from([1, 5, 8, 32773]),
         endian=st.sampled_from(["<", ">"]),
         tw=st.sampled_from([16, 32]),
         th=st.sampled_from([16, 32]),
@@ -197,7 +197,7 @@ class TestDecode:
     @given(
         h=st.integers(1, 12),
         w=st.integers(1, 12),
-        compression=st.sampled_from([1, 5, 32773]),
+        compression=st.sampled_from([1, 5, 8, 32773]),
         endian=st.sampled_from(["<", ">"]),
         data=st.data(),
     )
