@@ -1472,3 +1472,86 @@ def r24_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (acc, x) -> 0.5*acc + 0.5*x)"
         ).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r26 — skyline / Pareto frontier (min price, max size)
+# ---------------------------------------------------------------------------
+
+@register(
+    "r26_skyline",
+    """
+    WITH g AS (
+        SELECT p_retailprice AS pr, MAX(p_size) AS ms
+        FROM part GROUP BY 1
+    ),
+    sky AS (
+        SELECT pr, ms,
+               MAX(ms) OVER (ORDER BY pr
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS prev
+        FROM g
+    )
+    SELECT p.p_partkey, p.p_name, p.p_retailprice, p.p_size
+    FROM part p
+    JOIN sky s ON p.p_retailprice = s.pr AND p.p_size = s.ms
+    WHERE s.prev IS NULL OR s.ms > s.prev
+    ORDER BY p.p_retailprice, p.p_partkey
+    """,
+    doc="Skyline / Pareto frontier over parts: minimize retail price, "
+    "maximize size. A part survives iff no other part is <= on price "
+    "AND >= on size with one strict (duplicate (price, size) pairs "
+    "co-survive; within an equal-price group only max-size rows "
+    "live). Shape: group to (price, max_size) — corpus-sized shuffle "
+    "one — then the sorted cummax sweep runs DISTRIBUTED in the r12 "
+    "ECDF discipline: repartitionByRange on price, per-partition "
+    "rowsBetween cummax windows, partition-count-sized collect of "
+    "per-partition maxes broadcast back as prefix offsets — never a "
+    "single-partition global window. Survivor (price, size) pairs "
+    "are frontier-sized (monotone staircase), broadcast for the "
+    "join back to full rows. Price is compared, never computed on, "
+    "so double equality is exact. At 100 TB: two shuffles total, "
+    "the sweep state per partition is one number.",
+)
+def r26_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    g = part.groupBy(F.col("p_retailprice").alias("pr")).agg(
+        F.max("p_size").alias("ms")
+    )
+    parts = g.repartitionByRange(_KS_PARTS, "pr").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    per_part = (
+        parts.groupBy("pid").agg(F.max("ms").alias("pm")).orderBy("pid")
+    )
+    # bounded collect: one row per range partition
+    running = None
+    prefix_rows = []
+    for r in per_part.collect():
+        prefix_rows.append((int(r["pid"]), running))
+        running = max(running, int(r["pm"])) if running is not None else int(r["pm"])
+    off_df = spark.createDataFrame(prefix_rows, "pid int, prefix int")
+    w = Window.partitionBy("pid").orderBy("pr").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky = (
+        parts.join(F.broadcast(off_df), "pid")
+        .withColumn(
+            "prev",
+            F.greatest(
+                F.coalesce(F.max("ms").over(w), F.lit(-1)),
+                F.coalesce(F.col("prefix"), F.lit(-1)),
+            ),
+        )
+        .where(F.col("ms") > F.col("prev"))
+        .select("pr", "ms")
+    )
+    return (
+        part.join(
+            F.broadcast(sky),
+            (F.col("p_retailprice") == F.col("pr"))
+            & (F.col("p_size") == F.col("ms")),
+        )
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )

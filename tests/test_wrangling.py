@@ -883,3 +883,63 @@ class TestEwma:
         for x in counts[1:]:
             expect = 0.5 * expect + 0.5 * x
         assert r24_ewma(spark, sf).collect()[0]["ewma"] == expect
+
+
+class TestSkyline:
+    @staticmethod
+    def _plant_parts(spark, tmp_path, rows):
+        spark.createDataFrame(
+            [
+                (i + 1, f"part {i}", "B", "T", size, price)
+                for i, (price, size) in enumerate(rows)
+            ],
+            "p_partkey bigint, p_name string, p_brand string, "
+            "p_type string, p_size int, p_retailprice double",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "part.parquet")
+        )
+        return str(tmp_path)
+
+    @staticmethod
+    def _brute_force(rows):
+        """The NOT EXISTS dominance definition, verbatim."""
+        out = []
+        for i, (pi, si) in enumerate(rows):
+            dominated = any(
+                pb <= pi and sb >= si and (pb < pi or sb > si)
+                for j, (pb, sb) in enumerate(rows)
+                if j != i
+            )
+            if not dominated:
+                out.append(i + 1)
+        return sorted(out)
+
+    def test_hand_planted_ties(self, spark, tmp_path):
+        rows = [
+            (10.0, 5),   # skyline
+            (10.0, 5),   # duplicate pair: co-survives
+            (10.0, 3),   # equal price, smaller size: dominated
+            (20.0, 5),   # pricier, same size as a cheaper row: dominated
+            (20.0, 9),   # skyline (bigger than anything cheaper)
+            (30.0, 9),   # dominated by (20, 9)
+            (5.0, 1),    # skyline (cheapest)
+        ]
+        from batch_processing_system_spark.queries.wrangling import r26_skyline
+
+        sf = self._plant_parts(spark, tmp_path, rows)
+        got = sorted(r["p_partkey"] for r in r26_skyline(spark, sf).collect())
+        assert got == self._brute_force(rows) == [1, 2, 5, 7]
+
+    def test_random_matches_brute_force(self, spark, tmp_path):
+        import random
+
+        rng = random.Random(23)
+        rows = [
+            (float(rng.randrange(1, 40)), rng.randrange(1, 12))
+            for _ in range(120)
+        ]
+        from batch_processing_system_spark.queries.wrangling import r26_skyline
+
+        sf = self._plant_parts(spark, tmp_path, rows)
+        got = sorted(r["p_partkey"] for r in r26_skyline(spark, sf).collect())
+        assert got == self._brute_force(rows)
