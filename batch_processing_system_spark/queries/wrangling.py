@@ -1555,3 +1555,224 @@ def r26_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_name", "p_retailprice", "p_size")
         .orderBy("p_retailprice", "p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# r27 — largest-remainder proration (exact integer allocation)
+# ---------------------------------------------------------------------------
+
+_ALLOC_POINTS = 10000  # points allocated per order across its lineitems
+
+
+@register(
+    "r27_proration",
+    f"""
+    WITH li AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS BIGINT) AS q
+        FROM lineitem
+    ),
+    tot AS (
+        SELECT l_orderkey, SUM(q) AS tq FROM li GROUP BY 1
+    ),
+    base AS (
+        SELECT li.l_orderkey, li.l_linenumber, li.q, tot.tq,
+               ({_ALLOC_POINTS} * li.q) // tot.tq AS floor_share,
+               ({_ALLOC_POINTS} * li.q) % tot.tq AS rem
+        FROM li JOIN tot USING (l_orderkey)
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                  ORDER BY rem DESC, l_linenumber, q DESC) AS rn,
+               {_ALLOC_POINTS} - SUM(floor_share)
+                   OVER (PARTITION BY l_orderkey) AS deficit
+        FROM base
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor_share + CASE WHEN rn <= deficit THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM ranked
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="Largest-remainder (Hamilton) proration: split a fixed "
+    "integer budget per order across its lineitems proportional to "
+    "quantity, with the rounding deficit going to the largest "
+    "fractional remainders (tie: lowest linenumber, then quantity — "
+    "the synthetic data has duplicate (orderkey, linenumber) rows, "
+    "so the rank key must be total up to exact-duplicate rows, "
+    "which are interchangeable under the multiset hash) so every order "
+    "sums EXACTLY to the budget — the billing/cost-allocation "
+    "operator spreadsheet rounding gets wrong. All integer "
+    "arithmetic (floor_share = 10000q div Q, remainder = mod), so "
+    "hash-exact across engines by construction. One shuffle on "
+    "orderkey: the total agg, the remainder rank, and the deficit "
+    "window all share the same partitioning (Exchange reuse), and "
+    "per-order fan-in is lineitems-per-order bounded (~7).",
+)
+def r27_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    tot = li.groupBy("l_orderkey").agg(F.sum("q").alias("tq"))
+    base = li.join(tot, "l_orderkey").select(
+        "l_orderkey",
+        "l_linenumber",
+        "q",
+        F.expr(f"({_ALLOC_POINTS} * q) div tq").alias("floor_share"),
+        F.expr(f"({_ALLOC_POINTS} * q) % tq").alias("rem"),
+    )
+    wo = Window.partitionBy("l_orderkey")
+    ranked = base.select(
+        "l_orderkey",
+        "l_linenumber",
+        "floor_share",
+        F.row_number()
+        .over(
+            wo.orderBy(F.col("rem").desc(), "l_linenumber", F.col("q").desc())
+        )
+        .alias("rn"),
+        (F.lit(_ALLOC_POINTS) - F.sum("floor_share").over(wo)).alias("deficit"),
+    )
+    return ranked.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("floor_share")
+            + F.when(F.col("rn") <= F.col("deficit"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# r28 — equi-width histogram (profiling companion to r03/r05)
+# ---------------------------------------------------------------------------
+
+@register(
+    "r28_histogram",
+    """
+    SELECT event_type,
+           CAST(LEAST(GREATEST(FLOOR(value / 5.0), 0), 19) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY event_type, bucket
+    """,
+    doc="Equi-width histogram of event value per event type: 20 "
+    "buckets of width 5 with clamp buckets at both ends. The bucket "
+    "expression is the IDENTICAL IEEE sequence on both engines "
+    "(value/5.0 then floor — no width_bucket, whose internal "
+    "rounding formula is engine-specific), so boundary values land "
+    "identically and the counts are hash-exact. Map-side: the "
+    "bucketing is a scalar projection; one shuffle for the "
+    "(type, bucket) count — at 100 TB this is the profiling scan "
+    "shape with partial aggregation doing nearly all the work "
+    "before the exchange.",
+)
+def r28_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / F.lit(5.0)), F.lit(0)), F.lit(19)
+    )
+    return (
+        events.where(F.col("value").isNotNull())
+        .groupBy("event_type", bucket.cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r29 — referential-integrity audit (orphan counts per FK edge)
+# ---------------------------------------------------------------------------
+
+@register(
+    "r29_ri_audit",
+    """
+    SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS orphans,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS fact_rows
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+    ORDER BY fk_edge
+    """,
+    doc="Referential-integrity audit — the dbt-style expectation "
+    "check: orphan count + fact cardinality for every FK edge of "
+    "the schema, one row per edge. Spark side is five LEFT ANTI "
+    "joins (dimension side broadcast for all but "
+    "lineitem->orders, which shuffles on the join key) + count "
+    "aggregates union'd into one report. On healthy data every "
+    "orphans value is 0 — the query is the audit harness, and the "
+    "planted test breaks an edge to prove it fires. At 100 TB each "
+    "edge is one scan + one anti-join; no edge reads a column it "
+    "does not audit (ReadSchema prunes to the key).",
+)
+def r29_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def edge(name, fact, key, dim, dimkey, bcast=True):
+        d = dim.select(dimkey)
+        if bcast:
+            d = F.broadcast(d)
+        orphans = (
+            fact.select(key)
+            .join(d, fact[key] == dim[dimkey], "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("orphans"))
+        )
+        total = fact.agg(F.count(F.lit(1)).cast("bigint").alias("fact_rows"))
+        return orphans.crossJoin(total).select(
+            F.lit(name).alias("fk_edge"), "orphans", "fact_rows"
+        )
+
+    report = (
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey", orders,
+             "o_orderkey", bcast=False)
+        .unionAll(edge("orders.o_custkey->customer", orders, "o_custkey",
+                       customer, "c_custkey"))
+        .unionAll(edge("lineitem.l_partkey->part", li, "l_partkey", part,
+                       "p_partkey"))
+        .unionAll(edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+                       supplier, "s_suppkey"))
+        .unionAll(edge("customer.c_nationkey->nation", customer,
+                       "c_nationkey", nation, "n_nationkey"))
+    )
+    return report.orderBy("fk_edge")

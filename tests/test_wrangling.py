@@ -10,6 +10,7 @@ import datetime as dt
 
 import pytest
 
+from tests.conftest import SF_SMALL
 from batch_processing_system_spark.queries.wrangling import (
     _BLOOM_PRICE,
     r01_gapfill,
@@ -943,3 +944,106 @@ class TestSkyline:
         sf = self._plant_parts(spark, tmp_path, rows)
         got = sorted(r["p_partkey"] for r in r26_skyline(spark, sf).collect())
         assert got == self._brute_force(rows)
+
+
+class TestProration:
+    def test_hand_computed_allocation(self, spark, tmp_path):
+        # one order, quantities 1,1,1 over 10000 points: floor 3333
+        # each, deficit 1 -> all rems equal (tie), lowest linenumber
+        # gets the extra point
+        rows = [(1, 1, 1, i, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts(1)) for i in (1, 2, 3)]
+        # second order: quantities 2,1 -> 6666/3333 floors, rems
+        # 20000%3=2 vs 10000%3=1 -> line 1 (q=2) takes the point
+        rows += [
+            (2, 1, 1, 1, 2.0, 1.0, 0.0, 0.0, "N", "O", _ts(1)),
+            (2, 1, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts(1)),
+        ]
+        spark.createDataFrame(
+            rows,
+            "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+            "l_linenumber int, l_quantity double, l_extendedprice double, "
+            "l_discount double, l_tax double, l_returnflag string, "
+            "l_linestatus string, l_shipdate timestamp",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "lineitem.parquet")
+        )
+        from batch_processing_system_spark.queries.wrangling import r27_proration
+
+        got = {
+            (r["l_orderkey"], r["l_linenumber"]): r["alloc"]
+            for r in r27_proration(spark, str(tmp_path)).collect()
+        }
+        assert got == {
+            (1, 1): 3334, (1, 2): 3333, (1, 3): 3333,
+            (2, 1): 6667, (2, 2): 3333,
+        }
+
+    def test_every_order_sums_exactly_on_real_data(self, spark):
+        from batch_processing_system_spark.queries.wrangling import (
+            _ALLOC_POINTS,
+            r27_proration,
+        )
+        from pyspark.sql import functions as F
+
+        sums = (
+            r27_proration(spark, SF_SMALL)
+            .groupBy("l_orderkey")
+            .agg(F.sum("alloc").alias("s"))
+            .where(F.col("s") != _ALLOC_POINTS)
+            .count()
+        )
+        assert sums == 0
+
+
+class TestHistogram:
+    def test_clamps_and_boundaries(self, spark, tmp_path):
+        vals = [-3.0, 0.0, 4.999, 5.0, 9.99, 97.0, 100.0, 5000.0]
+        rows = [
+            (i, _ts(1), 1, "view", v, "{}") for i, v in enumerate(vals)
+        ]
+        from batch_processing_system_spark.queries.wrangling import r28_histogram
+
+        sf = _write_events(spark, tmp_path, rows)
+        got = {
+            (r["event_type"], r["bucket"]): r["n"]
+            for r in r28_histogram(spark, sf).collect()
+        }
+        assert got == {
+            ("view", 0): 3,   # -3 clamps, 0.0 and 4.999 in [0,5)
+            ("view", 1): 2,   # 5.0 lands in bucket 1 exactly, 9.99
+            ("view", 19): 3,  # 97 in [95,100) AND 100/5000 clamp to 19
+        }
+
+
+class TestRiAudit:
+    def test_clean_data_reports_zero_orphans(self, spark):
+        from batch_processing_system_spark.queries.wrangling import r29_ri_audit
+
+        rows = r29_ri_audit(spark, SF_SMALL).collect()
+        assert len(rows) == 5
+        assert all(r["orphans"] == 0 for r in rows)
+        assert all(r["fact_rows"] > 0 for r in rows)
+
+    def test_broken_edge_fires(self, spark, tmp_path):
+        import shutil as _sh
+
+        from pyspark.sql import functions as F
+
+        # copy the small SF files, then drop half the orders rows
+        for t in ("lineitem", "orders", "customer", "part", "supplier", "nation"):
+            _sh.copy(
+                f"{SF_SMALL}/{t}.parquet", str(tmp_path / f"{t}.parquet")
+            )
+        orders = spark.read.parquet(str(tmp_path / "orders.parquet"))
+        kept = orders.where(F.col("o_orderkey") % 2 == 0)
+        kept = kept.localCheckpoint(eager=True)
+        (tmp_path / "orders.parquet").unlink()
+        kept.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        from batch_processing_system_spark.queries.wrangling import r29_ri_audit
+
+        rows = {
+            r["fk_edge"]: r["orphans"]
+            for r in r29_ri_audit(spark, str(tmp_path)).collect()
+        }
+        assert rows["lineitem.l_orderkey->orders"] > 0
+        assert rows["lineitem.l_partkey->part"] == 0
