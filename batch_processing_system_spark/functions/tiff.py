@@ -2,7 +2,9 @@
 
 Scope — the still-image baseline profile:
 
-- both byte orders (``II`` little / ``MM`` big endian)
+- both byte orders (``II`` little / ``MM`` big endian), classic
+  (magic 42) AND BigTIFF (magic 43: 8-byte offsets, 20-byte IFD
+  entries, LONG8 types — the >4 GB large-imagery container)
 - chunky planar config, strip-organized data (any RowsPerStrip) AND
   tiled layout (TileWidth/TileLength grids with edge-tile padding,
   the layout large-imagery TIFFs use)
@@ -30,32 +32,50 @@ import struct
 
 import numpy as np
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+_TYPE_SIZES = {
+    1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
+    16: 8, 17: 8, 18: 8,  # BigTIFF LONG8 / SLONG8 / IFD8
+}
 
 
-def _read_ifd_values(data: bytes, bo: str, entry: bytes):
-    tag, typ, count = struct.unpack(bo + "HHI", entry[:8])
+def _read_ifd_values(data: bytes, bo: str, entry: bytes, big: bool):
+    """One IFD entry -> (tag, values). Classic layout: 12-byte entry,
+    4-byte count/offset, <=4 bytes inline. BigTIFF: 20-byte entry,
+    8-byte count/offset, <=8 bytes inline."""
+    if big:
+        tag, typ = struct.unpack(bo + "HH", entry[:4])
+        count = struct.unpack(bo + "Q", entry[4:12])[0]
+        inline, off_fmt, off_at = 8, "Q", 12
+    else:
+        tag, typ, count = struct.unpack(bo + "HHI", entry[:8])
+        inline, off_fmt, off_at = 4, "I", 8
     size = _TYPE_SIZES.get(typ)
     if size is None:
         raise ValueError(f"TIFF: unknown field type {typ} for tag {tag}")
     total = size * count
-    if total <= 4:
-        raw = entry[8 : 8 + total]
+    if total <= inline:
+        raw = entry[off_at : off_at + total]
     else:
-        off = struct.unpack(bo + "I", entry[8:12])[0]
+        off = struct.unpack(bo + off_fmt, entry[off_at : off_at + size_of(off_fmt)])[0]
         raw = data[off : off + total]
         if len(raw) < total:
             raise ValueError(f"TIFF: tag {tag} value runs past end of file")
-    if typ in (3,):
+    if typ == 3:
         vals = list(struct.unpack(bo + "H" * count, raw))
-    elif typ in (4,):
+    elif typ == 4:
         vals = list(struct.unpack(bo + "I" * count, raw))
+    elif typ in (16, 17, 18):
+        vals = list(struct.unpack(bo + "Q" * count, raw))
     elif typ in (1, 6, 7, 2):
         vals = list(raw)
     else:
         # RATIONAL etc. — not needed for the baseline tags we read
         vals = list(raw)
     return tag, vals
+
+
+def size_of(fmt: str) -> int:
+    return struct.calcsize("<" + fmt)
 
 
 def _unpackbits(src: bytes, expected: int) -> bytes:
@@ -148,14 +168,25 @@ def decode_tiff_rgb(content: bytes):
         return None
     bo = "<" if content[:2] == b"II" else ">"
     magic = struct.unpack(bo + "H", content[2:4])[0]
-    if magic != 42:
+    if magic == 42:  # classic
+        big = False
+        ifd_off = struct.unpack(bo + "I", content[4:8])[0]
+        n = struct.unpack(bo + "H", content[ifd_off : ifd_off + 2])[0]
+        entries_at, entry_sz = ifd_off + 2, 12
+    elif magic == 43:  # BigTIFF: 8-byte offsets throughout
+        big = True
+        offsize, pad = struct.unpack(bo + "HH", content[4:8])
+        if offsize != 8 or pad != 0:
+            raise ValueError("TIFF: malformed BigTIFF header")
+        ifd_off = struct.unpack(bo + "Q", content[8:16])[0]
+        n = struct.unpack(bo + "Q", content[ifd_off : ifd_off + 8])[0]
+        entries_at, entry_sz = ifd_off + 8, 20
+    else:
         return None
-    ifd_off = struct.unpack(bo + "I", content[4:8])[0]
-    n = struct.unpack(bo + "H", content[ifd_off : ifd_off + 2])[0]
     tags: dict[int, list] = {}
     for i in range(n):
-        e = content[ifd_off + 2 + 12 * i : ifd_off + 14 + 12 * i]
-        tag, vals = _read_ifd_values(content, bo, e)
+        e = content[entries_at + entry_sz * i : entries_at + entry_sz * (i + 1)]
+        tag, vals = _read_ifd_values(content, bo, e, big)
         tags[tag] = vals
 
     def one(tag, default=None):

@@ -208,6 +208,99 @@ def encode_tiff_tiled(
     return header + ifd + bytes(overflow) + b"".join(tiles)
 
 
+def encode_tiff_big(
+    arr: np.ndarray,
+    *,
+    endian: str = "<",
+    rows_per_strip: int | None = None,
+    compression: int = 1,
+    depth: int = 8,
+) -> bytes:
+    """Independent BigTIFF (magic 43) writer: 8-byte IFD offsets,
+    8-byte entry counts, 20-byte entries with 8-byte inline values;
+    strip offsets/counts written as LONG8 (type 16). arr (h,w,3) RGB
+    or (h,w) gray (depth 8 or 16 via v*257)."""
+    bo = endian
+    h, w = arr.shape[:2]
+    if arr.ndim == 3:
+        spp, photometric, bits = 3, 2, [8, 8, 8]
+        raw_rows = [arr[y].astype(np.uint8).tobytes() for y in range(h)]
+    elif depth == 16:
+        spp, photometric, bits = 1, 1, [16]
+        wide = (arr.astype(np.uint16) * 257).astype(np.dtype(bo + "u2"))
+        raw_rows = [wide[y].tobytes() for y in range(h)]
+    else:
+        spp, photometric, bits = 1, 1, [8]
+        raw_rows = [arr[y].astype(np.uint8).tobytes() for y in range(h)]
+
+    rps = rows_per_strip or h
+    strips = []
+    for top in range(0, h, rps):
+        rows = raw_rows[top : top + rps]
+        blob = b"".join(rows)
+        if compression == 32773:
+            strips.append(b"".join(packbits_encode(r) for r in rows))
+        elif compression == 5:
+            strips.append(lzw_encode(blob))
+        elif compression in (8, 32946):
+            import zlib
+
+            strips.append(zlib.compress(blob, 6))
+        else:
+            strips.append(blob)
+
+    # (tag, type, values); type 3 = SHORT, 16 = LONG8
+    entries = [
+        (256, 16, [w]),
+        (257, 16, [h]),
+        (258, 3, bits),
+        (259, 3, [compression]),
+        (262, 3, [photometric]),
+        (273, 16, [0] * len(strips)),  # patched below
+        (277, 3, [spp]),
+        (278, 16, [rps]),
+        (279, 16, [len(s) for s in strips]),
+    ]
+    entries.sort(key=lambda e: e[0])
+    tsize = {3: 2, 16: 8}
+    header = struct.pack(
+        bo + "2sHHHQ", b"II" if bo == "<" else b"MM", 43, 8, 0, 16
+    )
+    ifd_size = 8 + 20 * len(entries) + 8
+    overflow_at = 16 + ifd_size
+    # size the overflow region (values whose payload exceeds 8 bytes)
+    ov_sizes = {}
+    for tag, typ, vals in entries:
+        total = tsize[typ] * len(vals)
+        if total > 8:
+            ov_sizes[tag] = total
+    data_at = overflow_at + sum(ov_sizes.values())
+    offs = []
+    pos = data_at
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    entries = [
+        (tag, typ, offs if tag == 273 else vals) for tag, typ, vals in entries
+    ]
+
+    ifd = struct.pack(bo + "Q", len(entries))
+    overflow = bytearray()
+    overflow_pos = overflow_at
+    for tag, typ, vals in entries:
+        fmt = {3: "H", 16: "Q"}[typ]
+        payload = struct.pack(bo + fmt * len(vals), *vals)
+        head = struct.pack(bo + "HHQ", tag, typ, len(vals))
+        if len(payload) <= 8:
+            ifd += head + payload.ljust(8, b"\0")
+        else:
+            ifd += head + struct.pack(bo + "Q", overflow_pos)
+            overflow += payload
+            overflow_pos += len(payload)
+    ifd += struct.pack(bo + "Q", 0)  # next-IFD pointer (LONG8)
+    return header + ifd + bytes(overflow) + b"".join(strips)
+
+
 def _ifd_entry(bo, tag, typ, values):
     sizes = {3: 2, 4: 4}
     fmt = {3: "H", 4: "I"}[typ]

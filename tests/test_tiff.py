@@ -183,7 +183,34 @@ class TestDecode:
 
     def test_non_tiff_returns_none(self):
         assert decode_tiff_rgb(b"\x89PNG\r\n\x1a\nxxxxxxx") is None
-        assert decode_tiff_rgb(b"II\x2b\x00????") is None  # BigTIFF magic
+        assert decode_tiff_rgb(b"II\x2c\x00????") is None  # unknown magic
+
+    @pytest.mark.parametrize("endian", ["<", ">"])
+    @pytest.mark.parametrize("compression", [1, 5, 8, 32773])
+    def test_bigtiff_rgb(self, endian, compression):
+        from tests._tiff_encoder import encode_tiff_big
+
+        img = _gradient_rgb(14, 11)
+        data = encode_tiff_big(img, endian=endian, compression=compression)
+        assert data[2:4] == (b"\x2b\x00" if endian == "<" else b"\x00\x2b")
+        out = decode_tiff_rgb(data)
+        assert out is not None and np.array_equal(out, img)
+
+    def test_bigtiff_gray_multistrip_and_16bit(self):
+        from tests._tiff_encoder import encode_tiff_big
+
+        g = _gray(13, 9)
+        assert np.array_equal(
+            decode_tiff_rgb(encode_tiff_big(g, rows_per_strip=4)),
+            _rgbify_gray(g),
+        )
+        for endian in ("<", ">"):
+            out = decode_tiff_rgb(encode_tiff_big(g, depth=16, endian=endian))
+            assert np.array_equal(out, _rgbify_gray(g)), endian
+
+    def test_bigtiff_malformed_header_raises(self):
+        with pytest.raises(ValueError, match="BigTIFF"):
+            decode_tiff_rgb(b"II\x2b\x00\x04\x00\x00\x00" + b"\0" * 16)
 
     def test_unsupported_compression_raises(self):
         img = _gradient_rgb(4, 4)
