@@ -630,6 +630,89 @@ def extract_audio_features(binary_df: DataFrame) -> DataFrame:
     )
 
 
+SPECTRAL_FEATURES_SCHEMA = (
+    "path string, sample_rate int, n_samples bigint, "
+    "spectral_centroid_hz double, spectral_bandwidth_hz double, "
+    "spectral_rolloff_hz double, spectral_flatness double"
+)
+
+
+def spectral_features_from_mono(sr: int, mono) -> tuple:
+    """Magnitude-spectrum shape features from a mono float64 signal:
+    centroid (power-weighted mean frequency), bandwidth (power-weighted
+    std around it), 85% rolloff, and flatness (geometric/arithmetic
+    mean of power, the noisiness measure; 1 = white noise, ->0 =
+    tonal). DC is excluded so silence and constant offsets read as
+    flatness 0. Pure numpy rfft — tested against a direct O(n^2) DFT
+    reference in tests/test_multimodal.py."""
+    import numpy as np
+
+    n = int(mono.size)
+    if n < 2:
+        return (0.0, 0.0, 0.0, 0.0)
+    spec = np.abs(np.fft.rfft(mono))
+    freqs = np.fft.rfftfreq(n, d=1.0 / sr)
+    power = spec[1:] ** 2  # drop DC
+    freqs = freqs[1:]
+    total = float(power.sum())
+    if total <= 0.0:
+        return (0.0, 0.0, 0.0, 0.0)
+    centroid = float((freqs * power).sum() / total)
+    bandwidth = float(np.sqrt(((freqs - centroid) ** 2 * power).sum() / total))
+    cum = np.cumsum(power)
+    rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * total))])
+    # flatness over the positive-frequency power spectrum
+    with np.errstate(divide="ignore"):
+        logp = np.log(power[power > 0])
+    gm = float(np.exp(logp.mean())) if logp.size else 0.0
+    am = total / power.size
+    flatness = float(gm / am) if am > 0 else 0.0
+    return (centroid, bandwidth, rolloff, flatness)
+
+
+def extract_spectral_features(binary_df: DataFrame) -> DataFrame:
+    """Frequency-domain screens for audio curation — the companions
+    to extract_audio_features' time-domain ones: tonal-vs-noise
+    (flatness), brightness (centroid/rolloff), spread (bandwidth).
+    Same decode dispatch (_audio_mono: every WAV sample format,
+    IMA-ADPCM, FLAC), same one-Arrow-crossing-per-batch mapInPandas
+    shape; FFT cost is O(n log n) per file and embarrassingly
+    parallel. Values are rounded to 4dp — FFT floats are
+    library-deterministic, not cross-engine-deterministic, so this
+    surface is pytest-verified (vs a direct DFT reference), not
+    oracle-checked."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                dec = _audio_mono(bytes(content) if content is not None else b"")
+                if dec is None:
+                    raise NotImplementedError(
+                        f"extract_spectral_features: {path!r} is not a "
+                        "decodable WAV/FLAC; perceptual audio (mp3/aac/ogg) "
+                        "needs a codec library, not installed here"
+                    )
+                sr, _ch, _bits, mono = dec
+                c, b, r, f = spectral_features_from_mono(sr, mono)
+                rows.append(
+                    (path, sr, int(mono.size), round(c, 4), round(b, 4),
+                     round(r, 4), round(f, 4))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "sample_rate", "n_samples",
+                    "spectral_centroid_hz", "spectral_bandwidth_hz",
+                    "spectral_rolloff_hz", "spectral_flatness",
+                ],
+            )
+
+    return binary_df.select("path", "content").mapInPandas(
+        extract, SPECTRAL_FEATURES_SCHEMA
+    )
+
+
 def _gif_lzw_decode(mcs: int, data: bytes) -> bytes:
     """GIF-flavor LZW decode (LSB-first codes, CLEAR/END, 12-bit max)
     → palette-index bytes. Pure Python; raises ValueError on a corrupt

@@ -374,6 +374,82 @@ class TestWavSampleFormats:
         assert int(np.abs(_alaw_table()).max()) == 32256
 
 
+class TestSpectralFeatures:
+    @staticmethod
+    def _dft_reference(sr, mono):
+        """Independent O(n^2) direct DFT + the same feature formulas
+        written from scratch."""
+        import math
+
+        n = len(mono)
+        nbins = n // 2 + 1
+        mags = []
+        for k in range(nbins):
+            re = sum(mono[t] * math.cos(-2 * math.pi * k * t / n) for t in range(n))
+            im = sum(mono[t] * math.sin(-2 * math.pi * k * t / n) for t in range(n))
+            mags.append(math.hypot(re, im))
+        freqs = [k * sr / n for k in range(nbins)]
+        power = [m * m for m in mags[1:]]
+        freqs = freqs[1:]
+        total = sum(power)
+        if total <= 0:
+            return (0.0, 0.0, 0.0, 0.0)
+        centroid = sum(f * p for f, p in zip(freqs, power)) / total
+        bw = math.sqrt(sum((f - centroid) ** 2 * p for f, p in zip(freqs, power)) / total)
+        acc, roll = 0.0, freqs[-1]
+        for f, p in zip(freqs, power):
+            acc += p
+            if acc >= 0.85 * total:
+                roll = f
+                break
+        pos = [p for p in power if p > 0]
+        gm = math.exp(sum(math.log(p) for p in pos) / len(pos)) if pos else 0.0
+        am = total / len(power)
+        return (centroid, bw, roll, gm / am if am > 0 else 0.0)
+
+    def test_matches_direct_dft_on_random_signals(self):
+        import numpy as np
+
+        from batch_processing_system_spark.functions.multimodal import (
+            spectral_features_from_mono,
+        )
+
+        rng = np.random.default_rng(5)
+        for _ in range(4):
+            mono = rng.normal(0, 0.3, size=64)
+            got = spectral_features_from_mono(1000, mono)
+            want = self._dft_reference(1000, list(mono))
+            for g, w in zip(got, want):
+                assert abs(g - w) < 1e-6, (got, want)
+
+    def test_pure_sine_centroid_at_frequency(self, spark, tmp_path):
+        from batch_processing_system_spark.functions.multimodal import (
+            extract_spectral_features,
+        )
+
+        (tmp_path / "s.wav").write_bytes(make_sine_wav(16000, 1, freq=1000))
+        row = extract_spectral_features(
+            read_binary_dir(spark, str(tmp_path))
+        ).collect()[0]
+        # all energy in the 1 kHz bin: centroid == rolloff == 1000,
+        # near-zero bandwidth, near-zero flatness (maximally tonal)
+        assert abs(row["spectral_centroid_hz"] - 1000.0) < 1.0
+        assert abs(row["spectral_rolloff_hz"] - 1000.0) < 1.0
+        assert row["spectral_bandwidth_hz"] < 20.0
+        assert row["spectral_flatness"] < 0.01
+
+    def test_silence_is_all_zero(self):
+        import numpy as np
+
+        from batch_processing_system_spark.functions.multimodal import (
+            spectral_features_from_mono,
+        )
+
+        assert spectral_features_from_mono(8000, np.zeros(256)) == (
+            0.0, 0.0, 0.0, 0.0,
+        )
+
+
 class TestFrameSampling:
     def _two_frame_gif(self):
         f0 = [0, 1, 2, 3]  # 2x2: red green / blue white
