@@ -80,6 +80,7 @@ def _ensure_loaded() -> None:
         graphs,
         layout,
         tokenize,
+        tpch,
     )
 
     _LOADED = True
