@@ -471,3 +471,73 @@ def q79_det_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.select(
         "bucket", "doc_id", F.row_number().over(w).cast("long").alias("pos")
     )
+
+
+CHUNK_SIZE = 32  # tokens per chunk
+CHUNK_STRIDE = 24  # tokens advanced per chunk (8-token overlap)
+
+
+@register(
+    "r45_overlap_chunks",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS words
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(s AS INT) AS chunk_idx,
+               list_slice(words, s * {CHUNK_STRIDE} + 1,
+                          s * {CHUNK_STRIDE} + {CHUNK_SIZE}) AS cw
+        FROM toks,
+             LATERAL unnest(range(0, greatest(
+                 (len(words) - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1)
+                     // {CHUNK_STRIDE},
+                 0) + 1)) AS t(s)
+        WHERE len(words) > 0
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(cw) AS BIGINT) AS n_tokens,
+           md5(array_to_string(cw, ' ')) AS chunk_digest
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc="X7 retrieval-side chunking — OVERLAPPING sliding windows "
+    "(size 32, stride 24, 8-token overlap): the RAG/context-window "
+    "twin of q77's pack-and-chunk (training side, no overlap) and "
+    "q85's UDTF chunker (Python lane, no overlap). Chunk count per "
+    "doc is 1 + ceil(max(n-size, 0)/stride) — the last chunk is "
+    "allowed to be short rather than dropping trailing tokens "
+    "(conservation: every token appears in ≥1 chunk; overlap means "
+    "boundary-spanning facts appear intact in some chunk). Pure "
+    "higher-order array expressions (sequence → explode → slice) — "
+    "map-side only, ZERO shuffle at any corpus size; the digest pins "
+    "exact chunk content, not just counts.",
+)
+def r45_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    n = F.size("words")
+    # number of stride steps AFTER the first chunk: ceil(max(n-size,0)/stride)
+    steps = F.ceil(
+        F.greatest(n - F.lit(CHUNK_SIZE), F.lit(0)) / F.lit(CHUNK_STRIDE)
+    ).cast("int")
+    toks = docs.select("doc_id", words.alias("words")).where(F.size("words") > 0)
+    chunks = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), steps)).alias("chunk_idx"),
+        F.col("words"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.slice(
+            "words", F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_SIZE
+        ).alias("cw"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("cw").cast("bigint").alias("n_tokens"),
+        F.md5(F.encode(F.concat_ws(" ", "cw"), "UTF-8")).alias("chunk_digest"),
+    ).orderBy("doc_id", "chunk_idx")

@@ -319,3 +319,125 @@ def q85_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q85_documents d, LATERAL chunk_text(d.text, 32) c
         """
     )
+
+
+WINNOW_K = 4  # words per k-gram
+WINNOW_W = 5  # winnowing window (k-grams per window)
+
+
+@register(
+    "r43_winnowing",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word,
+               generate_subscripts(list_filter(string_split(text, ' '), x -> x <> ''), 1) - 1 AS pos
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, pos,
+               md5(word || ' ' || lead(word, 1) OVER w || ' '
+                        || lead(word, 2) OVER w || ' '
+                        || lead(word, 3) OVER w) AS h
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(word, {WINNOW_K - 1}) OVER w IS NOT NULL
+    ),
+    counted AS (
+        SELECT doc_id, pos, h,
+               COUNT(*) OVER (PARTITION BY doc_id) AS cnt
+        FROM grams
+    ),
+    sel AS (
+        SELECT doc_id, pos, cnt,
+               min(struct_pack(h := h, np := -pos))
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS m
+        FROM counted
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, m.h AS fp_hash, -m.np AS fp_pos
+        FROM sel
+        WHERE pos <= cnt - {WINNOW_W} OR pos = 0
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fp,
+           md5(string_agg(fp_hash || ':' || fp_pos, ',' ORDER BY fp_pos))
+               AS fp_digest
+    FROM fps
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="X4 document fingerprinting — WINNOWING (Schleimer/Wilkerson/"
+    "Aiken, the MOSS algorithm): hash every 4-word k-gram, slide a "
+    "5-gram window, keep each window's minimum hash with the standard "
+    "rightmost tie-break — min(struct(hash, -pos)) makes the "
+    "(value, rightmost) rule ONE lexicographic comparison, identical "
+    "in Spark and DuckDB. Guarantees: any shared run of w+k-1 words "
+    "between two documents shares at least one fingerprint, and "
+    "selection density is 2/(w+1) in expectation. Documents shorter "
+    "than one full window keep the global minimum (the pos=0 shrunken "
+    "frame), so no non-empty gram list selects nothing. The output "
+    "pins the ENTIRE selected set per doc (position-ordered digest), "
+    "not just counts. Per-doc windows parallelize across the corpus; "
+    "the only shuffle is the doc_id group — at 100 TB the fingerprint "
+    "inverted index (join on fp_hash, the q46 DF-cut discipline) is "
+    "how these feed plagiarism/overlap detection.",
+)
+def r43_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+            "pos", "word"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ",
+        F.col("word"),
+        *[F.lead("word", i).over(w) for i in range(1, WINNOW_K)],
+    )
+    grams = (
+        toks.withColumn("last_word", F.lead("word", WINNOW_K - 1).over(w))
+        .withColumn("h", F.md5(F.encode(gram, "UTF-8")))
+        .filter(F.col("last_word").isNotNull())
+        .select("doc_id", "pos", "h")
+    )
+    cnt_w = Window.partitionBy("doc_id")
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    sel = (
+        grams.withColumn("cnt", F.count(F.lit(1)).over(cnt_w))
+        .withColumn(
+            "m", F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(frame)
+        )
+        .filter(
+            (F.col("pos") <= F.col("cnt") - WINNOW_W) | (F.col("pos") == 0)
+        )
+    )
+    fps = sel.select(
+        "doc_id",
+        F.col("m.h").alias("fp_hash"),
+        (-F.col("m.np")).alias("fp_pos"),
+    ).distinct()
+    fp_str = F.concat_ws(
+        ":", F.col("fp_hash"), F.col("fp_pos").cast("string")
+    )
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct(F.col("fp_pos"), fp_str.alias("s")))),
+        lambda x: x["s"],
+    )
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fp"),
+            F.md5(F.encode(F.concat_ws(",", ordered), "UTF-8")).alias(
+                "fp_digest"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -497,28 +497,29 @@ def r41_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "max ship + distinct-supplier count, then the count of distinct "
     "suppliers tied at that max — sole means exactly one, and "
     "MIN(l_suppkey) is that one). Timestamp equality is exact (µs); "
-    "two shuffles on the order key share partitioning, the supplier "
-    "dim broadcasts, top-20 with a name tie-break.",
+    "ONE shuffle on the order key — max_ship comes from a window "
+    "over the same partitioning the aggregation reuses (no fact-fact "
+    "join-back; the oracle's join formulation and this window "
+    "formulation are the same relation), the supplier "
 )
 def r42_sole_latest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
-    per_order = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.max("l_shipdate").alias("max_ship"),
-        F.countDistinct("l_suppkey").alias("n_supp"),
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("l_orderkey")
+    supp_at_max = F.when(
+        F.col("l_shipdate") == F.col("max_ship"), F.col("l_suppkey")
     )
     at_max = (
-        li.join(
-            per_order.where(F.col("n_supp") >= 2),
-            (F.col("l_orderkey") == F.col("ok"))
-            & (F.col("l_shipdate") == F.col("max_ship")),
-        )
-        .groupBy("ok")
+        li.withColumn("max_ship", F.max("l_shipdate").over(w))
+        .groupBy(F.col("l_orderkey").alias("ok"))
         .agg(
-            F.countDistinct("l_suppkey").alias("n_at_max"),
-            F.min("l_suppkey").alias("sole_supp"),
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(supp_at_max).alias("n_at_max"),
+            F.min(supp_at_max).alias("sole_supp"),
         )
-        .where(F.col("n_at_max") == 1)
+        .where((F.col("n_supp") >= 2) & (F.col("n_at_max") == 1))
     )
     return (
         at_max.join(

@@ -630,8 +630,14 @@ def r12_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("event_type") == "purchase").cast("int").alias("is1"),
         )
     )
-    parts = e.repartitionByRange(_KS_PARTS, "value").withColumn(
-        "pid", F.spark_partition_id()
+    parts = (
+        e.repartitionByRange(_KS_PARTS, "value")
+        .withColumn("pid", F.spark_partition_id())
+        # eager: pid feeds TWO jobs (the offsets collect and the final
+        # plan); without materialization, AQE partition coalescing or a
+        # re-sampled range exchange could renumber partitions between
+        # them and silently corrupt every downstream rank
+        .localCheckpoint(eager=True)
     )
     per_part = (
         parts.groupBy("pid")
@@ -726,8 +732,14 @@ def r13_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("event_type") == "purchase").cast("int").alias("is1"),
         )
     )
-    parts = e.repartitionByRange(_KS_PARTS, "value").withColumn(
-        "pid", F.spark_partition_id()
+    parts = (
+        e.repartitionByRange(_KS_PARTS, "value")
+        .withColumn("pid", F.spark_partition_id())
+        # eager: pid feeds TWO jobs (the offsets collect and the final
+        # plan); without materialization, AQE partition coalescing or a
+        # re-sampled range exchange could renumber partitions between
+        # them and silently corrupt every downstream rank
+        .localCheckpoint(eager=True)
     )
     per_part = (
         parts.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).orderBy("pid")
@@ -1518,8 +1530,12 @@ def r26_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = part.groupBy(F.col("p_retailprice").alias("pr")).agg(
         F.max("p_size").alias("ms")
     )
-    parts = g.repartitionByRange(_KS_PARTS, "pr").withColumn(
-        "pid", F.spark_partition_id()
+    parts = (
+        g.repartitionByRange(_KS_PARTS, "pr")
+        .withColumn("pid", F.spark_partition_id())
+        # eager for the same reason as r12: pid must mean the same
+        # partition in the bounded collect and in the final plan
+        .localCheckpoint(eager=True)
     )
     per_part = (
         parts.groupBy("pid").agg(F.max("ms").alias("pm")).orderBy("pid")
@@ -1776,3 +1792,143 @@ def r29_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "c_nationkey", nation, "n_nationkey"))
     )
     return report.orderBy("fk_edge")
+
+
+@register(
+    "r44_rolling_median",
+    """
+    WITH e AS (
+        SELECT event_id, user_id, ts, value
+        FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+    )
+    SELECT event_id, user_id,
+           ROUND(quantile_cont(value, 0.5)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                 4) AS med7
+    FROM e
+    ORDER BY user_id, event_id
+    """,
+    doc="Time-series smoothing — per-user 7-point rolling MEDIAN of "
+    "purchase values (the robust alternative to the r24 EWMA: one "
+    "outlier can't move it). Spark's percentile() as a window "
+    "aggregate over a ROWS frame ≡ DuckDB quantile_cont (same "
+    "p*(n-1) linear interpolation, the r05 rule), ROUND 4dp for the "
+    "decimal→double last-ulp (margin pinned in tests). (ts, event_id) "
+    "ordering is total, so both engines see identical frames. "
+    "Windows partition per user — parallel across users, frame "
+    "bounded at 7 rows; no global sort, no single-partition stage "
+    "at any scale.",
+)
+def r44_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    e = events.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias("med7"),
+    ).orderBy("user_id", "event_id")
+
+
+_EDB_PARTS = 32  # range partitions for the grouped distributed ECDF
+_EDB_K = 10  # deciles
+
+
+@register(
+    "r46_equidepth_bins",
+    f"""
+    WITH e AS (
+        SELECT event_type, value, event_id
+        FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rnk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM e
+    )
+    SELECT event_type,
+           CAST((rnk - 1) * {_EDB_K} // n AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(value), 4) AS lo,
+           ROUND(MAX(value), 4) AS hi
+    FROM ranked
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Equi-DEPTH histogram (deciles per event type) — the "
+    "complement of r28's equi-width bins: bucket boundaries adapt to "
+    "the data so every bucket holds n/10 rows. Bucket assignment is "
+    "floor((rank-1)*k/n) in INTEGER arithmetic on BOTH engines (not "
+    "native ntile — its uneven-remainder rule is engine-specific "
+    "lore; one formula, zero ambiguity), with (value, event_id) as "
+    "the total order. The rank is a GROUPED distributed ECDF — the "
+    "r12/r13 shape generalized: repartitionByRange on (type, value, "
+    "id), per-partition windows, per-(partition, type) prefix "
+    "offsets broadcast back (bounded by partitions × types, never "
+    "rows) — NO single-partition window even when one event type "
+    "dominates the corpus.",
+)
+def r46_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    e = events.where(F.col("value").isNotNull()).select(
+        "event_type", "value", "event_id"
+    )
+    parts = (
+        e.repartitionByRange(_EDB_PARTS, "event_type", "value", "event_id")
+        .withColumn("pid", F.spark_partition_id())
+        # eager: the offsets collect and the ranked plan MUST see the
+        # same pid numbering — AQE coalescing of the range exchange
+        # between the two jobs renumbers partitions otherwise (caught
+        # live at sf0.01: 53 buckets instead of 50)
+        .localCheckpoint(eager=True)
+    )
+    # bounded-collect: one row per (range partition, event type) —
+    # partitions × |type| rows, independent of corpus size
+    per = (
+        parts.groupBy("pid", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    totals: dict[str, int] = {}
+    offsets = []
+    for r in sorted(per, key=lambda r: (r["event_type"], r["pid"])):
+        t = r["event_type"]
+        offsets.append((int(r["pid"]), t, totals.get(t, 0)))
+        totals[t] = totals.get(t, 0) + int(r["c"])
+    off_df = spark.createDataFrame(
+        offsets, "pid int, event_type string, off bigint"
+    )
+    tot_df = spark.createDataFrame(
+        list(totals.items()), "event_type string, n bigint"
+    )
+    w = Window.partitionBy("pid", "event_type").orderBy("value", "event_id")
+    ranked = (
+        parts.join(F.broadcast(off_df), ["pid", "event_type"])
+        .join(F.broadcast(tot_df), "event_type")
+        .select(
+            "event_type",
+            "value",
+            (F.row_number().over(w) + F.col("off")).alias("rnk"),
+            "n",
+        )
+    )
+    bucket = F.expr(f"(rnk - 1) * {_EDB_K} div n").cast("int").alias("bucket")
+    return (
+        ranked.groupBy("event_type", bucket)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+        .orderBy("event_type", "bucket")
+    )
