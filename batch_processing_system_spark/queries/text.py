@@ -441,3 +441,51 @@ def r43_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "r48_allpairs_jaccard",
+    JACCARD_NEARDUP_SQL,
+    doc="X2 exact Jaccard self-join via ALLPAIRS PREFIX FILTERING "
+    "(Bayardo/Ma/Srikant) — the third candidate generator for the "
+    "same relation: q42 (MinHash LSH, probabilistic recall), q46 "
+    "(DF-cut inverted index, heuristic recall), r48 (prefix filter, "
+    "PROVABLY complete). Shingles order globally by (df, shingle) "
+    "rarest-first; each doc indexes only its first n − ⌈0.6·n⌉ + 1 "
+    "shingles — any pair with J ≥ 0.6 shares ≥ ⌈0.6·max(|A|,|B|)⌉ "
+    "shingles and therefore MUST collide inside the prefixes "
+    "(pigeonhole on the shared global order), so the candidate set "
+    "provably contains every true pair while indexing ~40% of the "
+    "corpus shingle mass, weighted toward rare tokens (hot "
+    "boilerplate lands in suffixes, killing the quadratic blowup the "
+    "DF cut fights heuristically). ⌈0.6·n⌉ is (6n+9) div 10 — integer "
+    "on both engines. Verification reuses the exact "
+    "cross-multiplication verifier; oracle = the full exact pair set "
+    "(same SQL as q46).",
+)
+def r48_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _shingles, _verify_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    # feeds document frequencies, prefix selection, AND verification
+    sh = _shingles(docs, n=5).localCheckpoint(eager=True)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    shd = sh.join(dfreq, "shingle")
+    order_w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    size_w = Window.partitionBy("doc_id")
+    ranked = shd.withColumn("rn", F.row_number().over(order_w)).withColumn(
+        "nsh", F.count(F.lit(1)).over(size_w)
+    )
+    prefix_len = F.col("nsh") - F.expr("(6 * nsh + 9) div 10") + 1
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select(
+        "doc_id", "shingle"
+    )
+    a = prefix.select(F.col("doc_id").alias("da"), "shingle")
+    b = prefix.select(F.col("doc_id").alias("db"), "shingle")
+    cand = (
+        a.join(b, ["shingle"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    return _verify_jaccard_pairs(cand, sh)

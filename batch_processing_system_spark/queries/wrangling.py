@@ -1932,3 +1932,158 @@ def r46_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@register(
+    "r47_anova",
+    """
+    WITH g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS ng,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))
+                        * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS q
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type),
+    a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(ng) AS BIGINT) AS n,
+               list_reduce(list(s ORDER BY event_type), (x, y) -> x + y)
+                   AS stot,
+               list_reduce(list(q ORDER BY event_type), (x, y) -> x + y)
+                   AS qtot,
+               list_reduce(list(s * s / ng ORDER BY event_type),
+                           (x, y) -> x + y) AS sb
+        FROM g)
+    SELECT k, n,
+           ROUND(sb - stot * stot / n, 4) AS ss_between,
+           ROUND(qtot - sb, 4) AS ss_within,
+           ROUND(((sb - stot * stot / n) / (k - 1))
+                 / ((qtot - sb) / (n - k)), 4) AS f_stat
+    FROM a
+    """,
+    doc="One-way ANOVA (F test) of event value across event types — "
+    "completes the statistics family (r11 chi-square: categorical; "
+    "r12 KS / r13 Mann-Whitney: nonparametric; r47: parametric "
+    "variance decomposition). Per-group sufficient statistics "
+    "(n, Σx, Σx²) accumulate in DECIMAL — exact, order-free (values "
+    "are 2-decimal, squares 4-decimal) — and the ONLY cross-group "
+    "float reduce (Σ S_g²/n_g and the totals) runs as the r24 "
+    "ordered-fold: aggregate() over the event_type-sorted array ≡ "
+    "DuckDB list_reduce, one IEEE order on both engines, so even "
+    "before ROUND(…,4) the scalars are bit-identical. One shuffle "
+    "(the type group); the per-group table is |types| rows.",
+)
+def r47_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    val = F.col("value").cast("decimal(12,2)")
+    g = (
+        events.where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("ng"),
+            F.sum(val).cast("double").alias("s"),
+            F.sum(val * val).cast("double").alias("q"),
+        )
+    )
+
+    def fold(expr: str, alias: str):
+        return F.expr(
+            "aggregate(transform(array_sort(collect_list("
+            f"struct(event_type, {expr} AS v))), p -> p.v), "
+            "cast(0.0 as double), (x, y) -> x + y)"
+        ).alias(alias)
+
+    a = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("ng").cast("bigint").alias("n"),
+        fold("s", "stot"),
+        fold("q", "qtot"),
+        fold("s * s / ng", "sb"),
+    )
+    ssb = F.col("sb") - F.col("stot") * F.col("stot") / F.col("n")
+    ssw = F.col("qtot") - F.col("sb")
+    return a.select(
+        "k",
+        "n",
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 4
+        ).alias("f_stat"),
+    )
+
+
+_SN_WINDOW = 3  # sorted-neighborhood width
+_SN_MAXDIST = 3  # Levenshtein acceptance threshold
+
+
+@register(
+    "r49_sorted_neighborhood",
+    f"""
+    WITH v AS (SELECT DISTINCT p_name FROM part),
+    r AS (SELECT p_name, ROW_NUMBER() OVER (ORDER BY p_name) AS rnk FROM v),
+    c AS (SELECT a.p_name AS name_a, b.p_name AS name_b,
+                 CAST(b.rnk - a.rnk AS INT) AS gap
+          FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND {_SN_WINDOW})
+    SELECT name_a, name_b, gap,
+           CAST(levenshtein(name_a, name_b) AS INT) AS dist
+    FROM c
+    WHERE levenshtein(name_a, name_b) <= {_SN_MAXDIST}
+    ORDER BY name_a, gap
+    """,
+    doc="Sorted-neighborhood blocking for record linkage — the "
+    "classic alternative to r02's token blocking: sort the (deduped) "
+    "entity vocabulary, compare each entity only to its next "
+    f"{_SN_WINDOW} neighbors in sort order, accept Levenshtein ≤ "
+    f"{_SN_MAXDIST}. The global rank is the r12/r46 distributed ECDF "
+    "(range partition, pinned pids, per-partition windows + prefix "
+    "offsets) — NO single-partition window — and the neighbor pairing "
+    "is an EQUI-join on rank+k (k exploded 1..w), which crosses range-"
+    "partition boundaries for free; candidate count is exactly w·|V|, "
+    "linear in vocabulary, vs token-blocking's block-size quadratics. "
+    "Both engines' levenshtein agree exactly (the r02/r22 evidence).",
+)
+def r49_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    parts = (
+        names.repartitionByRange(8, "p_name")
+        .withColumn("pid", F.spark_partition_id())
+        # eager: pid feeds the offsets collect and the final plan (r12 rule)
+        .localCheckpoint(eager=True)
+    )
+    # bounded-collect: one row per range partition
+    per = parts.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    off = 0
+    offsets = []
+    for r in sorted(per, key=lambda r: r["pid"]):
+        offsets.append((int(r["pid"]), off))
+        off += int(r["c"])
+    off_df = spark.createDataFrame(offsets, "pid int, off bigint")
+    w = Window.partitionBy("pid").orderBy("p_name")
+    ranked = parts.join(F.broadcast(off_df), "pid").select(
+        "p_name", (F.row_number().over(w) + F.col("off")).alias("rnk")
+    )
+    lhs = ranked.select(
+        F.col("p_name").alias("name_a"),
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, _SN_WINDOW + 1)])
+        ).alias("gap"),
+        F.col("rnk"),
+    ).withColumn("rnk_b", F.col("rnk") + F.col("gap"))
+    rhs = ranked.select(
+        F.col("p_name").alias("name_b"), F.col("rnk").alias("rnk_b")
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        lhs.join(rhs, "rnk_b")
+        .where(dist <= _SN_MAXDIST)
+        .select(
+            "name_a",
+            "name_b",
+            F.col("gap").cast("int").alias("gap"),
+            dist.cast("int").alias("dist"),
+        )
+        .orderBy("name_a", "gap")
+    )
