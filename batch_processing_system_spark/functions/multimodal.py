@@ -362,10 +362,19 @@ def decode_and_resize(binary_df: DataFrame, width: int, height: int) -> DataFram
 
                     rgb = decode_tiff_rgb(data)
                 if rgb is None:
+                    from .pnm import decode_pnm_rgb
+
+                    rgb = decode_pnm_rgb(data)
+                if rgb is None:
+                    from .tga import decode_tga_rgb
+
+                    rgb = decode_tga_rgb(data, require_footer=True)
+                if rgb is None:
                     raise NotImplementedError(
                         f"decode_and_resize: {path!r} is not a BMP, PNG, "
-                        "Huffman JPEG, or baseline TIFF, and Pillow (PIL) "
-                        "is not installed; install Pillow for other formats"
+                        "Huffman JPEG, baseline TIFF, PNM, or footered "
+                        "TGA, and Pillow (PIL) is not installed; install "
+                        "Pillow for other formats"
                     )
                 rows.append(
                     (path, [int(v) for v in _resize_nearest(rgb, width, height).ravel()])
@@ -977,9 +986,18 @@ def extract_decode_stats(binary_df: DataFrame) -> DataFrame:
 
                         rgb = decode_tiff_rgb(data)
                     if rgb is None:
+                        from .pnm import decode_pnm_rgb
+
+                        rgb = decode_pnm_rgb(data)
+                    if rgb is None:
+                        from .tga import decode_tga_rgb
+
+                        rgb = decode_tga_rgb(data, require_footer=True)
+                    if rgb is None:
                         raise NotImplementedError(
                             f"extract_decode_stats: {path!r} is not a BMP, "
-                            "PNG, Huffman JPEG, TIFF, GIF, WAV, or MJPEG AVI"
+                            "PNG, Huffman JPEG, TIFF, PNM, footered TGA, "
+                            "GIF, WAV, or MJPEG AVI"
                         )
                     rows.append(
                         (path, "image", int(rgb.shape[1]), int(rgb.shape[0]),

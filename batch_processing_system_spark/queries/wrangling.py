@@ -2087,3 +2087,63 @@ def r49_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name_a", "gap")
     )
+
+
+_RA_WINDOW = 7  # trailing days for the rolling-actives count
+
+
+@register(
+    "r50_rolling_actives",
+    f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+        FROM events),
+    span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+    contrib AS (
+        SELECT DISTINCT user_id, day + CAST(k AS INT) AS day
+        FROM ud, LATERAL unnest(range(0, {_RA_WINDOW})) AS t(k)),
+    counted AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS active_users
+        FROM contrib GROUP BY day)
+    SELECT c.day, c.active_users
+    FROM counted c, span
+    WHERE c.day <= span.d1
+    ORDER BY c.day
+    """,
+    doc="Rolling active users (trailing-7-day distinct, the WAU "
+    "engagement metric): each (user, active-day) pair CONTRIBUTES to "
+    "the 7 calendar days it keeps the user 'active' (explode k=0..6), "
+    "then one distinct + count per day — turning a sliding-window "
+    "COUNT DISTINCT (inexpressible as a Spark window frame, and "
+    "quadratic if self-joined) into explode + two key-partitioned "
+    "exchanges with map-side distinct. Fan-out is 7× the per-user "
+    "ACTIVE-DAY set (already deduped), not 7× events. Days past the "
+    "last observed day are trimmed so the calendar doesn't run past "
+    "the data. At 100 TB this is the standard shape: contribution "
+    "explode + re-aggregate, no window over an unbounded frame.",
+)
+def r50_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ud = events.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).distinct()
+    d1 = ud.agg(F.max("day").alias("d1"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_RA_WINDOW - 1))
+        ).alias("k"),
+        F.col("day"),
+    ).select("user_id", F.date_add(F.col("day"), F.col("k")).alias("day"))
+    counted = (
+        contrib.distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("active_users"))
+    )
+    return (
+        counted.join(F.broadcast(d1))
+        .where(F.col("day") <= F.col("d1"))
+        .select("day", "active_users")
+        .orderBy("day")
+    )

@@ -160,3 +160,30 @@ class TestEquidepthBins:
             # depth boundaries are ordered: bucket b's hi <= bucket b+1's lo
             for a, b in zip(bs, bs[1:]):
                 assert a["hi"] <= b["lo"], (t, a, b)
+
+
+class TestWinnowingRandomized:
+    def test_fifty_random_docs_match_reference(self, spark, tmp_path):
+        import random
+
+        rng = random.Random(63)
+        vocab = [f"t{i}" for i in range(30)]  # small vocab -> forced ties
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 60)))
+            for _ in range(50)
+        ]
+        _write_docs(spark, tmp_path, texts)
+        got = {
+            r["doc_id"]: (r["n_fp"], r["fp_digest"])
+            for r in r43_winnowing(spark, str(tmp_path)).collect()
+        }
+        for i, t in enumerate(texts):
+            ref = _winnow_reference(t.split())
+            if not ref:
+                assert i not in got
+                continue
+            ordered = sorted(ref, key=lambda x: x[1])
+            digest = hashlib.md5(
+                ",".join(f"{h}:{p}" for h, p in ordered).encode()
+            ).hexdigest()
+            assert got[i] == (len(ref), digest), i

@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 from tests._flac_encoder import encode_flac
+from tests._pnm_tga_encoder import encode_pnm, encode_tga
 from tests._jpeg_encoder import encode_color, encode_color_progressive
 from tests._tiff_encoder import encode_tiff
 from tests.test_multimodal import (
@@ -152,6 +153,16 @@ def build_fixtures() -> dict[str, bytes]:
             predictor=2,
             rows_per_strip=3,
         ),
+        # the SAME gradient again as binary PPM and as RLE top-down
+        # TGA -> the cross-format digest invariant becomes five-way
+        # BMP≡PNG≡TIFF≡PPM≡TGA (one pixel recipe, five container
+        # formats, five independent decode paths)
+        "fx17_gradient.ppm": encode_pnm(
+            [[tuple(px) for px in row] for row in grad], "P6"
+        ),
+        "fx18_gradient.tga": encode_tga(
+            [[tuple(px) for px in row] for row in grad], bpp=24, rle=True
+        ),
         "fx15_stereo.flac": encode_flac(
             [sine[:4000], [-s for s in sine[:4000]]],
             sample_rate=8000,
@@ -210,6 +221,18 @@ def main() -> None:
                 )
 
                 rgb = decode_tiff_rgb(data)
+            if rgb is None:
+                from batch_processing_system_spark.functions.pnm import (
+                    decode_pnm_rgb,
+                )
+
+                rgb = decode_pnm_rgb(data)
+            if rgb is None:
+                from batch_processing_system_spark.functions.tga import (
+                    decode_tga_rgb,
+                )
+
+                rgb = decode_tga_rgb(data, require_footer=True)
             row = (name, "image", int(rgb.shape[1]), int(rgb.shape[0]), 1,
                    hashlib.sha256(rgb.tobytes()).hexdigest())
         f, k, w, h, n, s = row
