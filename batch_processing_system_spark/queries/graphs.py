@@ -145,3 +145,110 @@ def r23_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "node")
         .limit(_TOPK)
     )
+
+
+_BFS_HOPS = 6  # fixed superstep budget == oracle recursion depth cap
+
+
+def _bfs_sql() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT 'C' || CAST(c AS VARCHAR) AS src,
+               'S' || CAST(s AS VARCHAR) AS dst FROM pairs
+        UNION ALL
+        SELECT 'S' || CAST(s AS VARCHAR), 'C' || CAST(c AS VARCHAR)
+        FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    walk(node, d) AS (
+        SELECT 'C' || CAST((SELECT MIN(c) FROM pairs) AS VARCHAR), 0
+        UNION
+        SELECT e.dst, w.d + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.d < {_BFS_HOPS}
+    ),
+    dist AS (SELECT node, MIN(d) AS hops FROM walk GROUP BY node)
+    SELECT CAST(COALESCE(dist.hops, -1) AS INT) AS hops,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM nodes LEFT JOIN dist USING (node)
+    GROUP BY 1
+    ORDER BY 1
+    """
+
+
+@register(
+    "r52_bfs_hops",
+    _bfs_sql(),
+    doc="BFS hop-distance histogram from the lowest-keyed customer "
+    "over the same symmetric trade graph as r23 — completing the "
+    "graph family's fourth algorithm class (components q74 / "
+    "PageRank r23 / triangles r18 / traversal r52). Spark runs "
+    "frontier expansion: only nodes discovered in superstep k-1 "
+    "expand in superstep k (each superstep joins the edge list to "
+    "the FRONTIER, not the full distance state), min-merged into the "
+    "distance state, localCheckpoint per round; the superstep budget "
+    "equals the oracle CTE's depth cap, so both relations are "
+    "identical by construction — hops are small integers, nothing to "
+    "round. Unreached nodes surface as hops = -1 (the bipartite "
+    "graph's isolated spokes), COUNTED, not dropped. At 100 TB: "
+    "edges hash-partition once; each superstep shuffles only the "
+    "frontier (≤ nodes), and the fixed budget bounds the iteration "
+    "regardless of data.",
+)
+def r52_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    cnode = F.concat(F.lit("C"), F.col("c").cast("string"))
+    snode = F.concat(F.lit("S"), F.col("s").cast("string"))
+    edges = (
+        pairs.select(cnode.alias("src"), snode.alias("dst"))
+        .unionAll(pairs.select(snode.alias("src"), cnode.alias("dst")))
+        .localCheckpoint(eager=True)  # consumed once per superstep
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    # bounded-collect: ONE scalar — the BFS source key
+    src_key = pairs.agg(F.min("c")).collect()[0][0]
+    source = f"C{src_key}"
+    dist = nodes.select(
+        "node",
+        F.when(F.col("node") == source, F.lit(0)).cast("int").alias("hops"),
+    ).localCheckpoint(eager=True)
+    frontier = dist.where(F.col("hops") == 0).localCheckpoint(eager=True)
+    for k in range(1, _BFS_HOPS + 1):
+        if frontier.isEmpty():
+            break
+        reached = (
+            edges.join(F.broadcast(frontier), edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new_dist = (
+            dist.join(reached.withColumn("nk", F.lit(k)), "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("hops"), F.col("nk")).cast("int").alias("hops"),
+            )
+            .localCheckpoint(eager=True)  # truncate superstep lineage
+        )
+        frontier = new_dist.where(F.col("hops") == k).localCheckpoint(
+            eager=True
+        )
+        dist = new_dist
+    return (
+        dist.groupBy(
+            F.coalesce(F.col("hops"), F.lit(-1)).cast("int").alias("hops")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy("hops")
+    )
