@@ -36,6 +36,8 @@ import struct
 
 import numpy as np
 
+from .guard import controlled_decode
+
 ZIGZAG = np.array([
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
@@ -121,7 +123,12 @@ class _BitReader:
         self.pos += 2
 
 
-class _RestartMarker(Exception):
+class _RestartMarker(ValueError):
+    # ValueError subclass: internally this is control flow (the scan
+    # decoder catches it at restart intervals), but on a CORRUPT
+    # stream it can surface from the bit reader in a place no handler
+    # expects — subclassing ValueError keeps the escape inside the
+    # controlled-decode contract (tests/test_corrupt_media.py).
     def __init__(self, marker: int):
         self.marker = marker
 
@@ -131,6 +138,7 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+@controlled_decode("JPEG")
 def decode_jpeg_rgb(content: bytes):
     """Decode a baseline (SOF0) or progressive (SOF2) JPEG into
     (h, w, 3) uint8 RGB, or None when ``content`` is not a JPEG at

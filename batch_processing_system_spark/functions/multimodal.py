@@ -43,6 +43,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .guard import controlled_decode
+
 try:  # pragma: no cover - absent in this container
     from PIL import Image as _PIL_Image  # type: ignore
 except Exception:
@@ -128,6 +130,7 @@ def extract_media_metadata(binary_df: DataFrame) -> DataFrame:
     )
 
 
+@controlled_decode("BMP")
 def _decode_bmp_rgb(content: bytes):
     """Decode an uncompressed 24/32-bit BI_RGB BMP to a top-down
     (h, w, 3) uint8 RGB array — pure struct+numpy, no image library.
@@ -206,6 +209,7 @@ _ADAM7 = (
 )
 
 
+@controlled_decode("PNG")
 def _decode_png_rgb(content: bytes):
     """Decode a 1/2/4/8/16-bit PNG (color types 0 gray, 2 RGB,
     3 palette, 4 gray+alpha, 6 RGBA; interlace 0 OR Adam7) to a
@@ -568,6 +572,7 @@ def _wav_pcm(content: bytes):
     return sample_rate, channels, bits, mono
 
 
+@controlled_decode("WAV/FLAC")
 def _audio_mono(data: bytes):
     """Dispatch audio decode: integer-PCM / IMA-ADPCM WAV, or native
     FLAC (functions/flac.py, r6). Returns (sample_rate, channels,
@@ -760,6 +765,7 @@ def _gif_lzw_decode(mcs: int, data: bytes) -> bytes:
     return bytes(out)
 
 
+@controlled_decode("GIF")
 def _gif_frames(content: bytes):
     """Parse an (animated) GIF into [(delay_ms, width, height, rgb
     bytes)] — pure Python block walk + LZW with full frame
@@ -858,6 +864,7 @@ def _gif_frames(content: bytes):
     return frames
 
 
+@controlled_decode("AVI")
 def _avi_mjpeg_frames(content: bytes):
     """Parse an AVI container (RIFF walk) whose video stream is MJPEG —
     every '00dc'/'00db' chunk is a standalone JPEG — into the same

@@ -32,6 +32,8 @@ import struct
 
 import numpy as np
 
+from .guard import controlled_decode
+
 _TYPE_SIZES = {
     1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
     16: 8, 17: 8, 18: 8,  # BigTIFF LONG8 / SLONG8 / IFD8
@@ -161,6 +163,7 @@ def _lzw_decode(src: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
+@controlled_decode("TIFF")
 def decode_tiff_rgb(content: bytes):
     """Decode a baseline TIFF to an (h, w, 3) uint8 RGB ndarray, or
     None if ``content`` is not a TIFF file at all."""

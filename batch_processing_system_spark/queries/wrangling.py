@@ -1540,9 +1540,9 @@ def r26_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = (
         parts.groupBy("pid").agg(F.max("ms").alias("pm")).orderBy("pid")
     )
-    # bounded collect: one row per range partition
     running = None
     prefix_rows = []
+    # bounded-collect: one row per range partition
     for r in per_part.collect():
         prefix_rows.append((int(r["pid"]), running))
         running = max(running, int(r["pm"])) if running is not None else int(r["pm"])
@@ -1892,11 +1892,11 @@ def r46_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         # live at sf0.01: 53 buckets instead of 50)
         .localCheckpoint(eager=True)
     )
-    # bounded-collect: one row per (range partition, event type) —
-    # partitions × |type| rows, independent of corpus size
     per = (
         parts.groupBy("pid", "event_type")
         .agg(F.count(F.lit(1)).alias("c"))
+        # bounded-collect: one row per (range partition, event type) —
+        # partitions × |type| rows, independent of corpus size
         .collect()
     )
     totals: dict[str, int] = {}
