@@ -55,6 +55,10 @@ HEAVY_SET = [
     "q88_bm25",
     "q89_unigram_ppl",
     "q92_best_of_cluster",
+    "r23_pagerank",
+    "r27_proration",
+    "r48_allpairs_jaccard",
+    "r52_bfs_hops",
 ]
 
 DRIFT_FACTOR = 1.3  # same-plan ratio beyond this reads as host drift
