@@ -374,6 +374,10 @@ def decode_and_resize(binary_df: DataFrame, width: int, height: int) -> DataFram
 
                     rgb = decode_tga_rgb(data, require_footer=True)
                 if rgb is None:
+                    from .ico import decode_ico_rgb
+
+                    rgb = decode_ico_rgb(data)
+                if rgb is None:
                     raise NotImplementedError(
                         f"decode_and_resize: {path!r} is not a BMP, PNG, "
                         "Huffman JPEG, baseline TIFF, PNM, or footered "
@@ -572,10 +576,10 @@ def _wav_pcm(content: bytes):
     return sample_rate, channels, bits, mono
 
 
-@controlled_decode("WAV/FLAC")
+@controlled_decode("WAV/FLAC/AIFF")
 def _audio_mono(data: bytes):
-    """Dispatch audio decode: integer-PCM / IMA-ADPCM WAV, or native
-    FLAC (functions/flac.py, r6). Returns (sample_rate, channels,
+    """Dispatch audio decode: integer-PCM / IMA-ADPCM WAV, native
+    FLAC (functions/flac.py, r6), or AIFF/AIFF-C PCM (functions/aiff.py). Returns (sample_rate, channels,
     bits, float64 mono in [-1, 1]) or None if the format is neither."""
     import numpy as np
 
@@ -586,6 +590,14 @@ def _audio_mono(data: bytes):
         from .flac import decode_flac
 
         sr, ch, bits, samples = decode_flac(data)
+        x = samples.astype(np.float64) / float(1 << (bits - 1))
+        n = (len(x) // ch) * ch
+        return sr, ch, bits, x[:n].reshape(-1, ch).mean(axis=1)
+    from .aiff import decode_aiff
+
+    dec = decode_aiff(data)
+    if dec is not None:
+        sr, ch, bits, samples = dec
         x = samples.astype(np.float64) / float(1 << (bits - 1))
         n = (len(x) // ch) * ch
         return sr, ch, bits, x[:n].reshape(-1, ch).mean(axis=1)
@@ -969,13 +981,15 @@ def extract_decode_stats(binary_df: DataFrame) -> DataFrame:
                          len(frames), dig.hexdigest())
                     )
                 elif (
-                    data[:4] == b"RIFF" and data[8:12] == b"WAVE"
-                ) or data[:4] == b"fLaC":
+                    (data[:4] == b"RIFF" and data[8:12] == b"WAVE")
+                    or data[:4] == b"fLaC"
+                    or (data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"))
+                ):
                     decoded = _audio_mono(data)
                     if decoded is None:
                         raise NotImplementedError(
                             f"extract_decode_stats: {path!r} WAV format is "
-                            "not integer/float PCM or IMA ADPCM"
+                            "not integer/float PCM, IMA ADPCM, FLAC, or AIFF PCM"
                         )
                     _, _, _, mono = decoded
                     rows.append(
@@ -1001,10 +1015,14 @@ def extract_decode_stats(binary_df: DataFrame) -> DataFrame:
 
                         rgb = decode_tga_rgb(data, require_footer=True)
                     if rgb is None:
+                        from .ico import decode_ico_rgb
+
+                        rgb = decode_ico_rgb(data)
+                    if rgb is None:
                         raise NotImplementedError(
                             f"extract_decode_stats: {path!r} is not a BMP, "
                             "PNG, Huffman JPEG, TIFF, PNM, footered TGA, "
-                            "GIF, WAV, or MJPEG AVI"
+                            "ICO, GIF, WAV/AIFF, or MJPEG AVI"
                         )
                     rows.append(
                         (path, "image", int(rgb.shape[1]), int(rgb.shape[0]),

@@ -19,6 +19,8 @@ import signal
 
 import pytest
 
+from batch_processing_system_spark.functions.aiff import decode_aiff
+from batch_processing_system_spark.functions.ico import decode_ico_rgb
 from batch_processing_system_spark.functions.jpeg import decode_jpeg_rgb
 from batch_processing_system_spark.functions.multimodal import (
     _audio_mono,
@@ -42,6 +44,8 @@ DECODERS = [
     _gif_frames,
     _avi_mjpeg_frames,
     _audio_mono,
+    decode_aiff,
+    decode_ico_rgb,
 ]
 
 CONTROLLED = (ValueError, NotImplementedError)

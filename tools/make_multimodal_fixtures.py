@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 from tests._flac_encoder import encode_flac
+from tests._aiff_ico_encoder import encode_aiff, encode_ico
 from tests._pnm_tga_encoder import encode_pnm, encode_tga
 from tests._jpeg_encoder import encode_color, encode_color_progressive
 from tests._tiff_encoder import encode_tiff
@@ -163,6 +164,17 @@ def build_fixtures() -> dict[str, bytes]:
         "fx18_gradient.tga": encode_tga(
             [[tuple(px) for px in row] for row in grad], bpp=24, rle=True
         ),
+        # the fx12 sine again as big-endian AIFF -> the PCM mono
+        # digest invariant pairs fx12 (RIFF/LE) with fx19 (IFF/BE)
+        "fx19_tone.aiff": encode_aiff([sine], 8000, 16),
+        # the gradient a SIXTH time, as a 32-bit ICO DIB entry (plus a
+        # smaller decoy entry the largest-entry rule must skip)
+        "fx20_gradient.ico": encode_ico(
+            [
+                ([[(1, 2, 3)] * 4] * 4, 32, None),
+                ([[tuple(px) for px in row] for row in grad], 32, None),
+            ]
+        ),
         "fx15_stereo.flac": encode_flac(
             [sine[:4000], [-s for s in sine[:4000]]],
             sample_rate=8000,
@@ -205,7 +217,11 @@ def main() -> None:
             for _, _, _, rgb in frames:
                 dig.update(rgb)
             row = (name, "video", frames[0][1], frames[0][2], len(frames), dig.hexdigest())
-        elif (data[:4] == b"RIFF" and data[8:12] == b"WAVE") or data[:4] == b"fLaC":
+        elif (
+            (data[:4] == b"RIFF" and data[8:12] == b"WAVE")
+            or data[:4] == b"fLaC"
+            or (data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"))
+        ):
             _, _, _, mono = _audio_mono(data)
             row = (name, "audio", None, None, int(mono.size),
                    hashlib.sha256(mono.tobytes()).hexdigest())
@@ -233,6 +249,12 @@ def main() -> None:
                 )
 
                 rgb = decode_tga_rgb(data, require_footer=True)
+            if rgb is None:
+                from batch_processing_system_spark.functions.ico import (
+                    decode_ico_rgb,
+                )
+
+                rgb = decode_ico_rgb(data)
             row = (name, "image", int(rgb.shape[1]), int(rgb.shape[0]), 1,
                    hashlib.sha256(rgb.tobytes()).hexdigest())
         f, k, w, h, n, s = row
