@@ -541,3 +541,94 @@ def r45_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("cw").cast("bigint").alias("n_tokens"),
         F.md5(F.encode(F.concat_ws(" ", "cw"), "UTF-8")).alias("chunk_digest"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+NEG_SEED = "neg-v1:"
+NEG_K = 2  # negative partners per document
+_NEG_PARTS = 16
+
+
+@register(
+    "r53_negative_pairs",
+    f"""
+    WITH ranked AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rnk
+        FROM documents),
+    n AS (SELECT COUNT(*) AS n FROM ranked),
+    cand AS (
+        SELECT doc_id, rnk, k,
+               ('0x' || substr(md5('{NEG_SEED}' || CAST(doc_id AS VARCHAR)
+                                   || ':' || CAST(k AS VARCHAR)), 1, 8))::BIGINT
+                   % (n.n - 1) AS draw
+        FROM ranked, n, LATERAL unnest(range(0, {NEG_K})) AS t(k)),
+    paired AS (
+        SELECT doc_id, CAST(k AS INT) AS neg_idx,
+               CASE WHEN draw >= rnk THEN draw + 1 ELSE draw END AS pr
+        FROM cand)
+    SELECT p.doc_id, p.neg_idx, r.doc_id AS partner_id
+    FROM paired p JOIN ranked r ON r.rnk = p.pr
+    ORDER BY p.doc_id, p.neg_idx
+    """,
+    doc="Deterministic negative-pair sampling for contrastive "
+    "training — every document draws K pseudo-random partner "
+    "documents from a seeded md5 uniform (the q79/q81 digest "
+    "discipline: reproducible across runs, engines, partitionings; "
+    "a new epoch is a new seed string, zero data movement). "
+    "Self-pairing is excluded EXACTLY by the classic shift trick: "
+    "draw from [0, n-2], bump by one at-or-above the doc's own rank "
+    "— uniform over the other n-1 documents, no rejection loop. The "
+    "dense rank comes from the pinned-pid distributed ECDF (no "
+    "single-partition window; doc_id contiguity is NOT assumed), and "
+    "the partner lookup is one equi-join on the rank key. At 100 TB: "
+    "two key exchanges (rank build, partner join) and a 2× fan-out — "
+    "the shape contrastive-dataset builders actually need.",
+)
+def r53_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    parts = (
+        docs.repartitionByRange(_NEG_PARTS, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        # eager: pid feeds the offsets collect and the final plan (r12 rule)
+        .localCheckpoint(eager=True)
+    )
+    # bounded-collect: one row per range partition
+    per = parts.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    off = 0
+    offsets = []
+    for r in sorted(per, key=lambda r: r["pid"]):
+        offsets.append((int(r["pid"]), off))
+        off += int(r["c"])
+    n = off
+    off_df = spark.createDataFrame(offsets, "pid int, off bigint")
+    w = Window.partitionBy("pid").orderBy("doc_id")
+    ranked = parts.join(F.broadcast(off_df), "pid").select(
+        "doc_id", (F.row_number().over(w) + F.col("off") - 1).alias("rnk")
+    )
+    cand = ranked.select(
+        "doc_id",
+        "rnk",
+        F.explode(F.array(*[F.lit(k) for k in range(NEG_K)])).alias("k"),
+    )
+    digest = F.md5(
+        F.concat(
+            F.lit(NEG_SEED),
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("k").cast("string"),
+        )
+    )
+    draw = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % (n - 1)
+    paired = cand.select(
+        "doc_id",
+        F.col("k").cast("int").alias("neg_idx"),
+        F.when(draw >= F.col("rnk"), draw + 1).otherwise(draw).alias("pr"),
+    )
+    partners = ranked.select(
+        F.col("doc_id").alias("partner_id"), F.col("rnk").alias("pr")
+    )
+    return (
+        paired.join(partners, "pr")
+        .select("doc_id", "neg_idx", "partner_id")
+        .orderBy("doc_id", "neg_idx")
+    )

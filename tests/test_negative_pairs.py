@@ -1,0 +1,34 @@
+"""r53 negative-pair sampling semantics: exactly K partners per doc,
+never self, deterministic across runs, and the shift trick keeps the
+partner distribution spread (no rank-0 pile-up)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from batch_processing_system_spark.queries.packing import (
+    NEG_K,
+    r53_negative_pairs,
+)
+from tests.conftest import SF_SMALL
+
+
+class TestNegativePairs:
+    def test_exactly_k_never_self_deterministic(self, spark):
+        rows = r53_negative_pairs(spark, SF_SMALL).collect()
+        per_doc = Counter(r["doc_id"] for r in rows)
+        assert set(per_doc.values()) == {NEG_K}
+        assert all(r["doc_id"] != r["partner_id"] for r in rows)
+        again = r53_negative_pairs(spark, SF_SMALL).collect()
+        assert {(r["doc_id"], r["neg_idx"], r["partner_id"]) for r in rows} == {
+            (r["doc_id"], r["neg_idx"], r["partner_id"]) for r in again
+        }
+
+    def test_partner_spread(self, spark):
+        rows = r53_negative_pairs(spark, SF_SMALL).collect()
+        hits = Counter(r["partner_id"] for r in rows)
+        # 1000 draws over 500 docs: no partner should absorb more than
+        # ~2% of the mass if the digest uniform is healthy
+        assert max(hits.values()) <= 20
+        # and a decent fraction of the corpus is hit at least once
+        assert len(hits) > 300
