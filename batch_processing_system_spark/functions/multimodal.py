@@ -210,7 +210,7 @@ _ADAM7 = (
 
 
 @controlled_decode("PNG")
-def _decode_png_rgb(content: bytes):
+def _decode_png_rgb(content: bytes, rgba: bool = False):
     """Decode a 1/2/4/8/16-bit PNG (color types 0 gray, 2 RGB,
     3 palette, 4 gray+alpha, 6 RGBA; interlace 0 OR Adam7) to a
     top-down (h, w, 3) uint8 RGB array — stdlib zlib + struct + numpy
@@ -221,14 +221,19 @@ def _decode_png_rgb(content: bytes):
     and palette) unpack MSB-first with per-row byte padding, gray
     scaling by 255/(2^depth-1) (exact for these depths). Alpha is
     dropped (no compositing), palette entries are looked up from
-    PLTE. Returns None for non-PNG bytes."""
+    PLTE. Returns None for non-PNG bytes.
+
+    ``rgba=True`` (the APNG composition path) returns (h, w, 4)
+    instead: color types 4/6 keep their alpha plane, 0/2 get opaque
+    255, and palette entries take per-index alpha from tRNS (absent
+    entries are opaque per the spec)."""
     import zlib
 
     import numpy as np
 
     if not content or content[:8] != b"\x89PNG\r\n\x1a\n":
         return None
-    pos, ihdr, plte, idat = 8, None, None, bytearray()
+    pos, ihdr, plte, trns, idat = 8, None, None, None, bytearray()
     while pos + 8 <= len(content):
         (clen,), ctype = struct.unpack(">I", content[pos : pos + 4]), content[pos + 4 : pos + 8]
         body = content[pos + 8 : pos + 8 + clen]
@@ -237,6 +242,8 @@ def _decode_png_rgb(content: bytes):
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"PLTE":
             plte = body
+        elif ctype == b"tRNS":
+            trns = body
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -297,20 +304,32 @@ def _decode_png_rgb(content: bytes):
         if len(raw) != h * (stride + 1):
             raise ValueError("PNG IDAT length mismatch")
         arr = to8(bytes(_png_unfilter(raw, h, stride, bpp)), h, w)
+    opaque = np.full((h, w, 1), 255, dtype=np.uint8)
     if color == 2:
-        return arr
+        return np.concatenate([arr, opaque], axis=2) if rgba else arr
     if color == 6:
-        return arr[:, :, :3]
+        return arr if rgba else arr[:, :, :3]
     if color == 0:
-        return np.repeat(arr, 3, axis=2)
+        rgb = np.repeat(arr, 3, axis=2)
+        return np.concatenate([rgb, opaque], axis=2) if rgba else rgb
     if color == 4:
-        return np.repeat(arr[:, :, :1], 3, axis=2)
+        rgb = np.repeat(arr[:, :, :1], 3, axis=2)
+        if rgba:
+            return np.concatenate([rgb, arr[:, :, 1:2]], axis=2)
+        return rgb
     # color == 3: palette lookup
     if plte is None:
         raise ValueError("palette PNG missing PLTE")
     pal = np.frombuffer(plte, dtype=np.uint8)
     pal = pal.reshape(len(pal) // 3, 3)
-    return pal[arr[:, :, 0]]
+    rgb = pal[arr[:, :, 0]]
+    if rgba:
+        alpha = np.full(len(pal), 255, dtype=np.uint8)
+        if trns is not None:
+            t = np.frombuffer(trns, dtype=np.uint8)
+            alpha[: len(t)] = t
+        return np.concatenate([rgb, alpha[arr[:, :, 0]][:, :, None]], axis=2)
+    return rgb
 
 
 def _resize_nearest(rgb, width: int, height: int):
@@ -967,10 +986,18 @@ def extract_decode_stats(binary_df: DataFrame) -> DataFrame:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 data = bytes(content) if content is not None else b""
-                if data[:6] in (b"GIF87a", b"GIF89a") or (
-                    data[:4] == b"RIFF" and data[8:12] == b"AVI "
-                ):
-                    frames = _gif_frames(data)
+                apng_frames = None
+                if data[:8] == b"\x89PNG\r\n\x1a\n":
+                    from .apng import decode_apng_frames
+
+                    # None for a STILL png -> falls to the image chain
+                    apng_frames = decode_apng_frames(data)
+                if apng_frames is not None or data[:6] in (
+                    b"GIF87a", b"GIF89a"
+                ) or (data[:4] == b"RIFF" and data[8:12] == b"AVI "):
+                    frames = apng_frames
+                    if frames is None:
+                        frames = _gif_frames(data)
                     if frames is None:
                         frames = _avi_mjpeg_frames(data)
                     dig = hashlib.sha256()
@@ -1070,10 +1097,15 @@ def sample_video_frames(binary_df: DataFrame, every_ms: int) -> DataFrame:
                 if frames is None:
                     frames = _avi_mjpeg_frames(data)
                 if frames is None:
+                    from .apng import decode_apng_frames
+
+                    frames = decode_apng_frames(data)
+                if frames is None:
                     raise NotImplementedError(
-                        f"sample_video_frames: {path!r} is not a GIF or an "
-                        "MJPEG AVI; other video containers/codecs need an "
-                        "AV decoder (e.g. PyAV/ffmpeg), not installed here"
+                        f"sample_video_frames: {path!r} is not a GIF, an "
+                        "MJPEG AVI, or an APNG; other video containers/"
+                        "codecs need an AV decoder (e.g. PyAV/ffmpeg), "
+                        "not installed here"
                     )
                 starts, t = [], 0
                 for delay_ms, _, _, _ in frames:

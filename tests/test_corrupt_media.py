@@ -20,6 +20,7 @@ import signal
 import pytest
 
 from batch_processing_system_spark.functions.aiff import decode_aiff
+from batch_processing_system_spark.functions.apng import decode_apng_frames
 from batch_processing_system_spark.functions.ico import decode_ico_rgb
 from batch_processing_system_spark.functions.jpeg import decode_jpeg_rgb
 from batch_processing_system_spark.functions.multimodal import (
@@ -46,6 +47,7 @@ DECODERS = [
     _audio_mono,
     decode_aiff,
     decode_ico_rgb,
+    decode_apng_frames,
 ]
 
 CONTROLLED = (ValueError, NotImplementedError)
@@ -86,7 +88,7 @@ def watchdog():
 
 def _fixtures():
     files = sorted(glob.glob(os.path.join(FIXTURE_DIR, "*")))
-    assert len(files) >= 18
+    assert len(files) >= 21
     return files
 
 

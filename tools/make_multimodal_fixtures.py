@@ -26,6 +26,7 @@ import numpy as np
 
 from tests._flac_encoder import encode_flac
 from tests._aiff_ico_encoder import encode_aiff, encode_ico
+from tests._apng_encoder import encode_apng
 from tests._pnm_tga_encoder import encode_pnm, encode_tga
 from tests._jpeg_encoder import encode_color, encode_color_progressive
 from tests._tiff_encoder import encode_tiff
@@ -175,6 +176,21 @@ def build_fixtures() -> dict[str, bytes]:
                 ([[tuple(px) for px in row] for row in grad], 32, None),
             ]
         ),
+        # animated PNG exercising offsets, dispose background/
+        # previous, and over-blending with a transparent hole — the
+        # zlib-lineage sibling of fx11's GIF composition
+        "fx21_anim.apng": encode_apng(
+            4, 4,
+            [
+                {"rows": [[(200, 30, 30, 255)] * 4] * 4, "dispose": 0},
+                {"rows": [[(30, 200, 30, 255)]], "x": 1, "y": 1,
+                 "dispose": 2},
+                {"rows": [[(30, 30, 200, 255), (0, 0, 0, 0)]], "x": 2,
+                 "y": 3, "blend": 1, "dispose": 1},
+                {"rows": [[(250, 250, 20, 128)] * 2] * 2, "x": 0, "y": 2,
+                 "blend": 1},
+            ],
+        ),
         "fx15_stereo.flac": encode_flac(
             [sine[:4000], [-s for s in sine[:4000]]],
             sample_rate=8000,
@@ -209,10 +225,17 @@ def main() -> None:
 
     print("\n-- pinned oracle rows (paste into queries/media.py):")
     for name, data in sorted(fixtures.items()):
-        if data[:6] in (b"GIF87a", b"GIF89a") or (
+        apng = None
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            from batch_processing_system_spark.functions.apng import (
+                decode_apng_frames,
+            )
+
+            apng = decode_apng_frames(data)
+        if apng is not None or data[:6] in (b"GIF87a", b"GIF89a") or (
             data[:4] == b"RIFF" and data[8:12] == b"AVI "
         ):
-            frames = _gif_frames(data) or _avi_mjpeg_frames(data)
+            frames = apng or _gif_frames(data) or _avi_mjpeg_frames(data)
             dig = hashlib.sha256()
             for _, _, _, rgb in frames:
                 dig.update(rgb)
