@@ -279,3 +279,159 @@ def q97_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(bcount("cnt"))
     )
+
+
+@register(
+    "r54_seasonal",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    trended AS (
+        SELECT event_type, d, cnt,
+               SUM(cnt) OVER w AS sum7,
+               COUNT(*) OVER w AS n7
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    detrended AS (
+        SELECT event_type,
+               CAST(dayofweek(d) + 1 AS INT) AS weekday,  -- DuckDB 0=Sun; Spark 1=Sun
+               7 * cnt - sum7 AS scaled
+        FROM trended WHERE n7 = 7
+    )
+    SELECT event_type, weekday,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(CAST(SUM(scaled) AS DOUBLE) / (7 * COUNT(*)), 4)
+               AS seasonal
+    FROM detrended
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Seasonal decomposition (moving-average detrend) — the "
+    "classic additive model's seasonal component: per event type, "
+    "daily counts minus a centered 7-day moving-average trend, "
+    "averaged by weekday. The detrend stays INTEGER the whole way — "
+    "scaled = 7·cnt − Σ7 (cnt minus the trend, multiplied through by "
+    "7) — so the only float op is ONE final division of exact "
+    "integer sums, then ROUND 4dp; no per-row double ever enters an "
+    "unordered aggregate (the r38/r12 cross-multiplication rule "
+    "applied to time series). Edge weeks (incomplete 7-day windows) "
+    "are excluded by the window row count, not by date arithmetic. "
+    "One shuffle on event_type; windows partition per type.",
+)
+def r54_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    trended = daily.select(
+        "event_type",
+        "d",
+        "cnt",
+        F.sum("cnt").over(w).alias("sum7"),
+        F.count(F.lit(1)).over(w).alias("n7"),
+    ).where(F.col("n7") == 7)
+    detrended = trended.select(
+        "event_type",
+        F.dayofweek("d").cast("int").alias("weekday"),
+        (7 * F.col("cnt") - F.col("sum7")).alias("scaled"),
+    )
+    return (
+        detrended.groupBy("event_type", "weekday")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(
+                F.sum("scaled").cast("double")
+                / (7 * F.count(F.lit(1))),
+                4,
+            ).alias("seasonal"),
+        )
+        .orderBy("event_type", "weekday")
+    )
+
+
+@register(
+    "r55_cohort_ltv",
+    """
+    WITH e AS (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+               CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+                    THEN CAST(value AS DECIMAL(12,2))
+                    ELSE CAST(0 AS DECIMAL(12,2)) END AS rev,
+               CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+                    THEN 1 ELSE 0 END AS is_p
+        FROM events
+    ),
+    cohorts AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id),
+    aged AS (
+        SELECT c.cohort_day,
+               date_diff('day', c.cohort_day, e.d) AS age,
+               e.rev, e.is_p
+        FROM e JOIN cohorts c USING (user_id)
+    ),
+    per_age AS (
+        SELECT cohort_day, CAST(age AS BIGINT) AS age,
+               SUM(rev) AS day_rev,
+               CAST(SUM(is_p) AS BIGINT) AS n_purch
+        FROM aged GROUP BY 1, 2
+    )
+    SELECT cohort_day, age,
+           n_purch,
+           CAST(SUM(day_rev) OVER (PARTITION BY cohort_day ORDER BY age)
+                AS DOUBLE) AS cum_revenue
+    FROM per_age
+    ORDER BY cohort_day, age
+    """,
+    doc="Cohort LTV curves — q96 retention's revenue twin: users "
+    "cohorted by first-activity day, purchase revenue bucketed by "
+    "cohort age, then the CUMULATIVE revenue curve per cohort. The "
+    "running sum happens in DECIMAL (exact at any accumulation "
+    "order) and converts to DOUBLE only at output, so the curve is "
+    "hash-comparable with no margin analysis. Cohort map is "
+    "user-sized (broadcastable against a 100 TB log); the cumulative "
+    "window partitions per cohort — age-bounded, never global.",
+)
+def r55_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    is_p = (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    e = events.select(
+        "user_id",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+        F.when(is_p, F.col("value").cast("decimal(12,2)"))
+        .otherwise(F.lit(0).cast("decimal(12,2)"))
+        .alias("rev"),
+        F.when(is_p, F.lit(1)).otherwise(F.lit(0)).alias("is_p"),
+    )
+    cohorts = e.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    aged = e.join(F.broadcast(cohorts), "user_id").select(
+        "cohort_day",
+        F.datediff(F.col("d"), F.col("cohort_day")).cast("bigint").alias("age"),
+        "rev",
+        "is_p",
+    )
+    per_age = aged.groupBy("cohort_day", "age").agg(
+        F.sum("rev").alias("day_rev"),
+        F.sum("is_p").cast("bigint").alias("n_purch"),
+    )
+    w = Window.partitionBy("cohort_day").orderBy("age")
+    return (
+        per_age.select(
+            "cohort_day",
+            "age",
+            "n_purch",
+            F.sum("day_rev").over(w).cast("double").alias("cum_revenue"),
+        )
+        .orderBy("cohort_day", "age")
+    )
