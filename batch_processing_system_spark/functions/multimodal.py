@@ -897,12 +897,14 @@ def _gif_frames(content: bytes):
 
 @controlled_decode("AVI")
 def _avi_mjpeg_frames(content: bytes):
-    """Parse an AVI container (RIFF walk) whose video stream is MJPEG —
-    every '00dc'/'00db' chunk is a standalone JPEG — into the same
-    [(delay_ms, width, height, rgb bytes)] shape as _gif_frames, using
-    the repo's own JPEG decoder (functions/jpeg.py, baseline +
-    progressive). Returns None if not an AVI; raises
-    NotImplementedError when the stream is a non-JPEG codec."""
+    """Parse an AVI container (RIFF walk) whose video stream is MJPEG
+    (every '00dc'/'00db' chunk a standalone JPEG, decoded by
+    functions/jpeg.py) or UNCOMPRESSED DIB ('DIB '/raw biCompression=0
+    frames: bottom-up 4-byte-aligned BGR(A)/palette rows described by
+    the stream's strf BITMAPINFOHEADER) into the same
+    [(delay_ms, width, height, rgb bytes)] shape as _gif_frames.
+    Returns None if not an AVI; raises NotImplementedError naming the
+    fourcc when the stream is some other codec."""
     if not content or len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
         return None
     from .jpeg import decode_jpeg_rgb
@@ -913,6 +915,7 @@ def _avi_mjpeg_frames(content: bytes):
     # chunks so a multi-stream AVI (audio+video, or two video streams)
     # doesn't interleave foreign frames into one timeline
     stream_no, video_stream = [0], [None]
+    expect_strf, video_strf = [False], [None]
     frame_chunks: list[bytes] = []
 
     def walk(pos: int, end: int) -> None:
@@ -927,7 +930,14 @@ def _avi_mjpeg_frames(content: bytes):
             elif cid == b"strh":
                 if content[body : body + 4] == b"vids" and video_stream[0] is None:
                     video_stream[0] = stream_no[0]
+                    expect_strf[0] = True
                 stream_no[0] += 1
+            elif cid == b"strf":
+                # the strf following the selected video strh carries its
+                # BITMAPINFOHEADER (raw-DIB geometry + palette)
+                if expect_strf[0]:
+                    video_strf[0] = content[body : body + size]
+                    expect_strf[0] = False
             elif cid[2:4] in (b"dc", b"db") and size > 0:
                 want = b"%02d" % (video_stream[0] if video_stream[0] is not None else 0)
                 if cid[:2] == want:
@@ -942,14 +952,58 @@ def _avi_mjpeg_frames(content: bytes):
     for chunk in frame_chunks:
         rgb = decode_jpeg_rgb(chunk)
         if rgb is None:
+            rgb = _avi_dib_frame(chunk, video_strf[0])
+        if rgb is None:
+            fourcc = (video_strf[0] or b"?" * 20)[16:20]
             raise NotImplementedError(
-                "sample_video_frames: AVI video stream is not MJPEG; other "
-                "video codecs (h264/vp9/...) need an AV decoder (e.g. "
-                "PyAV/ffmpeg), not installed here"
+                f"sample_video_frames: AVI video stream (strf codec "
+                f"{fourcc!r}) is neither MJPEG nor uncompressed DIB; "
+                "other video codecs (h264/vp9/...) need an AV decoder "
+                "(e.g. PyAV/ffmpeg), not installed here"
             )
         h, w = rgb.shape[:2]
         frames.append((delay_ms, w, h, rgb.tobytes()))
     return frames
+
+
+def _avi_dib_frame(chunk: bytes, strf: bytes | None):
+    """Decode one raw-DIB AVI frame ('00db' with biCompression=0) from
+    the stream's BITMAPINFOHEADER: bottom-up (or top-down when height
+    is negative) rows padded to 4 bytes, 24-bit BGR / 32-bit BGRX /
+    8-bit palette. Returns None when the strf is absent or names a
+    compressed codec (the caller reports the fourcc)."""
+    import numpy as np
+
+    if strf is None or len(strf) < 40:
+        return None
+    _sz, w, h, _planes, bpp, comp = struct.unpack("<IiihhI", strf[:20])
+    if comp != 0 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    stride = ((w * bpp + 31) // 32) * 4
+    if bpp == 8:
+        pal_raw = np.frombuffer(strf[40 : 40 + 4 * 256], dtype=np.uint8)
+        if pal_raw.size < 4:
+            raise ValueError("avi: 8-bit DIB stream without a palette")
+        pal = pal_raw.reshape(-1, 4)[:, 2::-1]  # BGRX -> RGB
+        raw = np.frombuffer(chunk[: stride * h], dtype=np.uint8)
+        if raw.size < stride * h:
+            raise ValueError("avi: truncated DIB frame")
+        idx = raw.reshape(h, stride)[:, :w]
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("avi: DIB palette index out of range")
+        img = pal[idx].astype(np.uint8)
+    elif bpp in (24, 32):
+        bypp = bpp // 8
+        raw = np.frombuffer(chunk[: stride * h], dtype=np.uint8)
+        if raw.size < stride * h:
+            raise ValueError("avi: truncated DIB frame")
+        px = raw.reshape(h, stride)[:, : w * bypp].reshape(h, w, bypp)
+        img = px[:, :, 2::-1].copy()
+    else:
+        raise ValueError(f"avi: unsupported DIB depth {bpp}")
+    return img if top_down else img[::-1].copy()
 
 
 MEDIA_DECODE_STATS_SCHEMA = (

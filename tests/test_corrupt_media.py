@@ -88,7 +88,7 @@ def watchdog():
 
 def _fixtures():
     files = sorted(glob.glob(os.path.join(FIXTURE_DIR, "*")))
-    assert len(files) >= 21
+    assert len(files) >= 22
     return files
 
 

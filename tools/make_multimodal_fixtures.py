@@ -27,6 +27,7 @@ import numpy as np
 from tests._flac_encoder import encode_flac
 from tests._aiff_ico_encoder import encode_aiff, encode_ico
 from tests._apng_encoder import encode_apng
+from tests.test_avi_dib import make_dib_avi
 from tests._pnm_tga_encoder import encode_pnm, encode_tga
 from tests._jpeg_encoder import encode_color, encode_color_progressive
 from tests._tiff_encoder import encode_tiff
@@ -190,6 +191,13 @@ def build_fixtures() -> dict[str, bytes]:
                 {"rows": [[(250, 250, 20, 128)] * 2] * 2, "x": 0, "y": 2,
                  "blend": 1},
             ],
+        ),
+        # ONE uncompressed-DIB AVI frame of the same gradient: the
+        # video-kind digest (sha over concatenated frame RGB) equals
+        # the six still-image digests — the invariant crosses the
+        # image/video boundary
+        "fx22_gradient_dib.avi": make_dib_avi(
+            [[[tuple(px) for px in row] for row in grad]]
         ),
         "fx15_stereo.flac": encode_flac(
             [sine[:4000], [-s for s in sine[:4000]]],
