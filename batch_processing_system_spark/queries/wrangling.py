@@ -2147,3 +2147,48 @@ def r50_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "active_users")
         .orderBy("day")
     )
+
+
+@register(
+    "r56_rolling_actives_hll",
+    None,  # tier-2: HLL estimates are engine-specific (Datasketches);
+    # correctness rides the pytest bracket vs exact r50 (q35 pattern)
+    doc="Rolling active users via MERGEABLE HLL sketches — the 100 TB "
+    "twin of r50: one Datasketches HLL per (day) from a single "
+    "events pass (hll_sketch_agg), then each KB-sized day sketch "
+    "explodes into the 7 trailing days it serves and hll_union_agg "
+    "merges per day — the shuffle carries days × 7 SKETCHES, not "
+    "user-day pairs, so the cost is calendar-sized and independent "
+    "of user cardinality (this is why warehouses precompute day "
+    "sketches: any window re-aggregates without touching raw data). "
+    "Tier-2 rows-only by design: the estimate is Datasketches-"
+    "specific, not SQL-portable; tests bracket it within ±5% of the "
+    "exact r50 count at two SFs and pin estimate determinism across "
+    "runs (the sketch is order-insensitive on union).",
+)
+def r56_rolling_actives_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    day_sk = (
+        events.select(
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+            "user_id",
+        )
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    d1 = day_sk.agg(F.max("day").alias("d1"))
+    contrib = day_sk.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_RA_WINDOW - 1))).alias("k"),
+        F.col("day"),
+        F.col("sk"),
+    ).select(F.date_add(F.col("day"), F.col("k")).alias("day"), "sk")
+    est = (
+        contrib.groupBy("day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("active_users_est"))
+    )
+    return (
+        est.join(F.broadcast(d1))
+        .where(F.col("day") <= F.col("d1"))
+        .select("day", F.col("active_users_est").cast("bigint").alias("active_users_est"))
+        .orderBy("day")
+    )

@@ -32,3 +32,30 @@ class TestNegativePairs:
         assert max(hits.values()) <= 20
         # and a decent fraction of the corpus is hit at least once
         assert len(hits) > 300
+
+
+class TestRollingActivesHll:
+    def test_bracket_vs_exact_and_determinism(self, spark):
+        from batch_processing_system_spark.queries.wrangling import (
+            r50_rolling_actives,
+            r56_rolling_actives_hll,
+        )
+
+        for sf in (SF_SMALL, "/root/testdata/sf0.01"):
+            exact = {
+                r["day"]: r["active_users"]
+                for r in r50_rolling_actives(spark, sf).collect()
+            }
+            est = {
+                r["day"]: r["active_users_est"]
+                for r in r56_rolling_actives_hll(spark, sf).collect()
+            }
+            assert est.keys() == exact.keys(), sf
+            for day, e in est.items():
+                x = exact[day]
+                assert abs(e - x) <= max(2, 0.05 * x), (sf, day, e, x)
+            again = {
+                r["day"]: r["active_users_est"]
+                for r in r56_rolling_actives_hll(spark, sf).collect()
+            }
+            assert again == est, sf
