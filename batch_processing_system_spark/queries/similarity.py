@@ -673,3 +673,161 @@ def q91_embedding_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "codes"
         ),
     )
+
+
+_KM_K = 8  # clusters
+_KM_ITERS = 3  # Lloyd iterations (fixed — determinism over convergence)
+
+
+def _kmeans_sql() -> str:
+    """Unrolled-CTE oracle (the r23 pagerank form): 3 Lloyd rounds as
+    chained CTEs — assignment by EXACT decimal distance, centroid
+    update re-quantized to DECIMAL(12,6) each round."""
+    step = """
+    d{i} AS (
+        SELECT e.vec_id, c.cid,
+               SUM((e.x - c.c) * (e.x - c.c)) AS dist
+        FROM e JOIN c{p} c USING (dim)
+        GROUP BY 1, 2
+    ),
+    a{i} AS (
+        SELECT vec_id, cid, dist FROM (
+            SELECT vec_id, cid, dist,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM d{i}) t
+        WHERE rn = 1
+    ),
+    c{i} AS (
+        SELECT a.cid, e.dim,
+               CAST(ROUND(CAST(SUM(e.x) AS DOUBLE) / COUNT(*), 6)
+                    AS DECIMAL(12,6)) AS c
+        FROM a{i} a JOIN e USING (vec_id)
+        GROUP BY 1, 2
+    )"""
+    chain = ",".join(
+        step.format(i=k, p=(0 if k == 1 else k - 1))
+        for k in range(1, _KM_ITERS + 1)
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, t.i - 1 AS dim,
+               CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(12,6)) AS x
+        FROM embeddings,
+             UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ),
+    seeds AS (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+        FROM (SELECT DISTINCT vec_id FROM e ORDER BY vec_id LIMIT {_KM_K}) s
+    ),
+    c0 AS (
+        SELECT s.cid, e.dim, e.x AS c
+        FROM e JOIN seeds s USING (vec_id)
+    ),
+    {chain}
+    SELECT CAST(n.cid AS INT) AS cid, n.n_vecs,
+           CAST(l.l1 AS DOUBLE) AS centroid_l1,
+           CAST(n.inertia AS DOUBLE) AS inertia
+    FROM (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                 SUM(dist) AS inertia
+          FROM a{_KM_ITERS} GROUP BY 1) n
+    JOIN (SELECT cid, SUM(ABS(c)) AS l1
+          FROM c{_KM_ITERS} GROUP BY 1) l USING (cid)
+    ORDER BY n.cid
+    """
+
+
+@register(
+    "r57_kmeans",
+    _kmeans_sql(),
+    doc="Distributed k-means (Lloyd, k=8, 3 fixed rounds) over the "
+    "embeddings — iterative ML made hash-exact: components quantize "
+    "to DECIMAL(12,6) once, every distance is an EXACT decimal sum "
+    "of squares (argmin can never flip on float summation order — "
+    "the failure mode that makes naive distributed k-means "
+    "non-reproducible), ties break on cluster id, and each round's "
+    "centroid re-quantizes via one double division + ROUND 6 — and "
+    "because centroid means are rationals S/(10^6 n), EXACT 6dp "
+    "half-boundaries occur legitimately; the pinned property is that "
+    "both engines ROUND the identical doubles identically (asserted "
+    "directly over every division the rounds perform, exact halves "
+    "included — tests/test_kmeans.py). "
+    "Init = the k lowest vec_ids' vectors; a fixed round budget "
+    "replaces data-dependent convergence (the r23/r52 rule). Spark "
+    "runs the Pregel-ish loop: the long-format point table "
+    "localCheckpoints once, the 512-row centroid table broadcasts "
+    "each round, assignment is one (vec,cluster) aggregation + "
+    "min(struct); the oracle unrolls the same 3 rounds as chained "
+    "CTEs. Inertia = distance to the PREVIOUS round's centroids at "
+    "the final assignment (documented, identical on both engines). "
+    "At 100 TB: per round one fact aggregation and a KB-sized "
+    "broadcast — the standard scalable Lloyd shape.",
+)
+def r57_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "xf"))
+        .select(
+            "vec_id",
+            "dim",
+            F.col("xf").cast("double").cast("decimal(12,6)").alias("x"),
+        )
+        .localCheckpoint(eager=True)  # consumed 2x per round
+    )
+    # bounded-collect: the K seed ids
+    seed_ids = [
+        int(r["vec_id"])
+        for r in e.select("vec_id").distinct().orderBy("vec_id").limit(_KM_K).collect()
+    ]
+    seed_df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(seed_ids)], "vec_id bigint, cid int"
+    )
+    c = (
+        e.join(F.broadcast(seed_df), "vec_id")
+        .select("cid", "dim", F.col("x").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    assign = None
+    for _ in range(_KM_ITERS):
+        d = (
+            e.join(F.broadcast(c), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dist"))
+        )
+        assign = (
+            d.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid")).alias("m"))
+            .select(
+                "vec_id",
+                F.col("m.cid").alias("cid"),
+                F.col("m.dist").alias("dist"),
+            )
+            .localCheckpoint(eager=True)  # truncate round lineage
+        )
+        c = (
+            assign.join(e, "vec_id")
+            .groupBy("cid", "dim")
+            .agg(
+                F.round(
+                    F.sum("x").cast("double") / F.count(F.lit(1)), 6
+                )
+                .cast("decimal(12,6)")
+                .alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
+    n = assign.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("dist").alias("inertia"),
+    )
+    l1 = c.groupBy("cid").agg(F.sum(F.abs(F.col("c"))).alias("l1"))
+    return (
+        n.join(l1, "cid")
+        .select(
+            "cid",
+            "n_vecs",
+            F.col("l1").cast("double").alias("centroid_l1"),
+            F.col("inertia").cast("double").alias("inertia"),
+        )
+        .orderBy("cid")
+    )
