@@ -831,3 +831,81 @@ def r57_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+@register(
+    "r58_embedding_covariance",
+    """
+    WITH x AS (
+        SELECT vec_id, t.i - 1 AS dim,
+               CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(12,6)) AS v
+        FROM embeddings,
+             UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM x),
+    pairs AS (
+        SELECT a.dim AS dim_i, b.dim AS dim_j,
+               SUM(a.v * b.v) AS sxy,
+               SUM(a.v) AS sx,
+               SUM(b.v) AS sy
+        FROM x a JOIN x b
+          ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        GROUP BY 1, 2
+    )
+    SELECT CAST(dim_i AS INT) AS dim_i, CAST(dim_j AS INT) AS dim_j,
+           ROUND((CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n.n)
+                 / n.n, 6) AS cov
+    FROM pairs, n
+    ORDER BY 1, 2
+    """,
+    doc="Embedding covariance matrix (upper triangle) — the "
+    "distributed heavy step of PCA/whitening/ZCA for embedding "
+    "pipelines: components quantize to DECIMAL(12,6) (the r57 rule), "
+    "the three sufficient statistics (Σxy, Σx, Σy) accumulate EXACTLY "
+    "in decimal per (i,j) pair, and the only floats are the final "
+    "per-cell divisions on identical exact operands, ROUND 6 (r21's "
+    "population-covariance formula). The self-join is per-VECTOR "
+    "(vec_id equi-join, dim_i ≤ dim_j) — d(d+1)/2 ≈ 2080 cells from "
+    "d=64, each a map-side-combinable sum, so the shuffle carries "
+    "cell-sized partials, never vectors; at 100 TB this is the "
+    "standard X^T X reduction (the eigendecomposition of the 64×64 "
+    "result is driver-sized — the SQ8/IVF bounded-stats pattern).",
+)
+def r58_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "vf"))
+        .select(
+            "vec_id",
+            "dim",
+            F.col("vf").cast("double").cast("decimal(12,6)").alias("v"),
+        )
+        .localCheckpoint(eager=True)  # both sides of the self-join
+    )
+    n = x.select("vec_id").distinct().count()  # bounded: one scalar
+    a = x.select("vec_id", F.col("dim").alias("dim_i"), F.col("v").alias("va"))
+    b = x.select("vec_id", F.col("dim").alias("dim_j"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, "vec_id")
+        .where(F.col("dim_i") <= F.col("dim_j"))
+        .groupBy("dim_i", "dim_j")
+        .agg(
+            F.sum(F.col("va") * F.col("vb")).alias("sxy"),
+            F.sum("va").alias("sx"),
+            F.sum("vb").alias("sy"),
+        )
+    )
+    cov = F.round(
+        (
+            F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double") / n
+        )
+        / n,
+        6,
+    ).alias("cov")
+    return pairs.select(
+        F.col("dim_i").cast("int").alias("dim_i"),
+        F.col("dim_j").cast("int").alias("dim_j"),
+        cov,
+    ).orderBy("dim_i", "dim_j")

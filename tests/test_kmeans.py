@@ -151,3 +151,45 @@ class TestKmeans:
         assert all(r["n_vecs"] == 12 for r in got)
         # blob tightness: total inertia tiny vs the 10-apart spacing
         assert sum(r["inertia"] for r in got) < 1.0
+
+
+class TestCovariance:
+    def test_matches_numpy_reference(self, spark):
+        """r58 vs an integer-exact numpy X^T X on the same DECIMAL(12,6)
+        quantization: all 2080 upper-triangle cells within ROUND noise."""
+        import numpy as np
+
+        from batch_processing_system_spark.queries.similarity import (
+            r58_embedding_covariance,
+        )
+
+        emb = load_table(spark, SF_SMALL, "embeddings")
+        rows = sorted(
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in emb.collect()
+        )
+        X = np.array(
+            [[_quant6(x) for x in e] for _, e in rows], dtype=np.int64
+        )
+        n = X.shape[0]
+        sxy = X.T @ X  # |cells| <= 1e12 * n — exact in int64
+        sx = X.sum(axis=0)
+        cov = (
+            sxy.astype(np.float64) / 1e12
+            - np.outer(sx, sx).astype(np.float64) / 1e12 / n
+        ) / n
+        got = r58_embedding_covariance(spark, SF_SMALL).collect()
+        assert len(got) == X.shape[1] * (X.shape[1] + 1) // 2
+        for r in got:
+            ref = cov[r["dim_i"], r["dim_j"]]
+            assert abs(r["cov"] - ref) <= 2e-6, (r, ref)
+
+    def test_diagonal_is_nonnegative_variance(self, spark):
+        from batch_processing_system_spark.queries.similarity import (
+            r58_embedding_covariance,
+        )
+
+        got = r58_embedding_covariance(spark, SF_SMALL).collect()
+        for r in got:
+            if r["dim_i"] == r["dim_j"]:
+                assert r["cov"] >= 0.0, r
