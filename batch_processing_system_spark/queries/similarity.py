@@ -909,3 +909,126 @@ def r58_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim_j").cast("int").alias("dim_j"),
         cov,
     ).orderBy("dim_i", "dim_j")
+
+
+_DBSCAN_MINPTS = 3  # neighbors including self => degree >= 2
+
+
+@register(
+    "r59_dbscan",
+    f"""
+    WITH RECURSIVE
+    cp AS (SELECT vec_id_a AS a, vec_id_b AS b FROM ({COSINE_NEARDUP_SQL}) p),
+    edges AS (SELECT a, b FROM cp UNION SELECT b, a FROM cp),
+    deg AS (SELECT a AS v, COUNT(*) AS d FROM edges GROUP BY a),
+    core AS (SELECT v FROM deg WHERE d >= {_DBSCAN_MINPTS - 1}),
+    core_edges AS (
+        SELECT e.a, e.b FROM edges e
+        JOIN core ca ON e.a = ca.v
+        JOIN core cb ON e.b = cb.v
+    ),
+    reach(src, dst) AS (
+        SELECT a, b FROM core_edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN core_edges e ON r.dst = e.a
+    ),
+    labels AS (
+        SELECT c.v AS vec, LEAST(c.v, COALESCE(MIN(r.dst), c.v)) AS cluster
+        FROM core c LEFT JOIN reach r ON r.src = c.v
+        GROUP BY c.v
+    ),
+    border AS (
+        SELECT e.a AS vec, MIN(l.cluster) AS cluster
+        FROM edges e
+        JOIN labels l ON l.vec = e.b
+        LEFT JOIN core c ON c.v = e.a
+        WHERE c.v IS NULL
+        GROUP BY e.a
+    ),
+    assigned AS (
+        SELECT vec, cluster, 1 AS is_core FROM labels
+        UNION ALL
+        SELECT vec, cluster, 0 FROM border
+    )
+    SELECT * FROM (
+        SELECT CAST(cluster AS BIGINT) AS cluster,
+               CAST(SUM(is_core) AS BIGINT) AS n_core,
+               CAST(SUM(1 - is_core) AS BIGINT) AS n_border
+        FROM assigned GROUP BY 1
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT),
+               CAST(0 AS BIGINT),
+               CAST((SELECT COUNT(*) FROM embeddings)
+                    - (SELECT COUNT(*) FROM assigned) AS BIGINT)
+    ) t ORDER BY cluster
+    """,
+    doc="DBSCAN over the embeddings — density clustering from the "
+    "repo's own primitives: the eps-neighborhood is the EXACT cosine "
+    "≥ 0.45 pair set (q54's relation — broadcast-BLAS or LSH route, "
+    "both measured pair-identical), core points have ≥ minPts−1 "
+    "neighbors, clusters are connected components over CORE-CORE "
+    "edges (the q74 pointer-jumped propagation; oracle: recursive-CTE "
+    "closure), isolated cores self-label, and border points take the "
+    "MIN cluster among their core neighbors — classic DBSCAN leaves "
+    "border assignment scan-order-dependent, this formulation pins it "
+    "deterministically. Noise surfaces as cluster −1 (counted, not "
+    "dropped). At 100 TB the shape is pair-graph-bounded end to end: "
+    "candidates from the LSH route, components touch only core-core "
+    "edges, border assignment is one join on the pair list.",
+)
+def r59_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curation import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_total = emb.count()  # bounded: one scalar
+    pairs = q54_cosine_neardup(spark, sf_dir).select(
+        F.col("vec_id_a").alias("a"), F.col("vec_id_b").alias("b")
+    )
+    edges = (
+        pairs.unionAll(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        # consumed by degree count, core-edge filter, and border join
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy(F.col("a").alias("v")).agg(F.count(F.lit(1)).alias("d"))
+    core = deg.where(F.col("d") >= _DBSCAN_MINPTS - 1).select("v")
+    core_edges = (
+        edges.join(F.broadcast(core.select(F.col("v").alias("a"))), "a")
+        .join(F.broadcast(core.select(F.col("v").alias("b"))), "b")
+        .select(F.col("a").alias("doc_id_a"), F.col("b").alias("doc_id_b"))
+    )
+    comp = connected_components(core_edges).select(
+        F.col("doc_id").alias("vec"), F.col("component").alias("cluster")
+    )
+    isolated = core.join(
+        comp.select(F.col("vec").alias("v")), "v", "left_anti"
+    ).select(F.col("v").alias("vec"), F.col("v").alias("cluster"))
+    labels = comp.unionAll(isolated)
+    border = (
+        edges.join(
+            labels.select(F.col("vec").alias("b"), "cluster"), "b"
+        )
+        .join(core.select(F.col("v").alias("a")), "a", "left_anti")
+        .groupBy(F.col("a").alias("vec"))
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    assigned = labels.select(
+        "vec", "cluster", F.lit(1).alias("is_core")
+    ).unionAll(border.select("vec", "cluster", F.lit(0).alias("is_core")))
+    counts = assigned.groupBy("cluster").agg(
+        F.sum("is_core").cast("bigint").alias("n_core"),
+        F.sum(1 - F.col("is_core")).cast("bigint").alias("n_border"),
+    )
+    n_assigned = assigned.count()  # bounded: one scalar
+    noise = spark.createDataFrame(
+        [(-1, 0, n_total - n_assigned)],
+        "cluster bigint, n_core bigint, n_border bigint",
+    )
+    return (
+        counts.select(
+            F.col("cluster").cast("bigint").alias("cluster"),
+            "n_core",
+            "n_border",
+        )
+        .unionAll(noise)
+        .orderBy("cluster")
+    )

@@ -193,3 +193,42 @@ class TestCovariance:
         for r in got:
             if r["dim_i"] == r["dim_j"]:
                 assert r["cov"] >= 0.0, r
+
+
+class TestDbscan:
+    def test_planted_core_border_noise(self, spark, tmp_path):
+        """Two planted density clusters in orthogonal planes, one
+        border point (exactly one core neighbor), one noise point."""
+        import math
+
+        def vec(plane, deg):
+            a = math.radians(deg)
+            v = [0.0, 0.0, 0.0, 0.0]
+            if plane == 0:
+                v[0], v[2] = math.cos(a), math.sin(a)
+            else:
+                v[1], v[3] = math.cos(a), math.sin(a)
+            return v
+
+        rows = [
+            (0, vec(0, 0), 0),
+            (1, vec(0, 20), 0),
+            (2, vec(0, 40), 0),
+            (3, vec(0, 95), 0),   # cos to id2 = cos55 ≈ .574 only -> border
+            (4, vec(1, 0), 1),
+            (5, vec(1, 20), 1),
+            (6, vec(1, 40), 1),
+            (7, vec(0, 170), 2),  # no neighbor ≥ .45 -> noise
+        ]
+        spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label int"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "embeddings.parquet")
+        )
+        from batch_processing_system_spark.queries.similarity import r59_dbscan
+
+        got = {
+            r["cluster"]: (r["n_core"], r["n_border"])
+            for r in r59_dbscan(spark, str(tmp_path)).collect()
+        }
+        assert got == {-1: (0, 1), 0: (3, 1), 4: (3, 0)}
