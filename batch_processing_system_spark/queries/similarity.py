@@ -1032,3 +1032,89 @@ def r59_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(noise)
         .orderBy("cluster")
     )
+
+
+_SWEEP_TAUS = ("0.45", "0.60", "0.75")  # string literals: exact both engines
+
+
+def _sweep_sql() -> str:
+    """Three recursive closures over the SAME rounded pair relation,
+    one per threshold — the q74 oracle form, parameterized."""
+    blocks = []
+    for i, tau in enumerate(_SWEEP_TAUS):
+        blocks.append(f"""
+    e{i} AS (SELECT a, b FROM edges WHERE cos_sim >= {tau}),
+    reach{i}(src, dst) AS (
+        SELECT a, b FROM e{i}
+        UNION
+        SELECT r.src, e.b FROM reach{i} r JOIN e{i} e ON r.dst = e.a
+    ),
+    lab{i} AS (
+        SELECT src AS vec, LEAST(src, MIN(dst)) AS cluster
+        FROM reach{i} GROUP BY src
+    ),
+    agg{i} AS (
+        SELECT CAST({tau} AS DOUBLE) AS tau,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(COALESCE(SUM(sz), 0) AS BIGINT) AS n_clustered,
+               CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS largest
+        FROM (SELECT cluster, COUNT(*) AS sz FROM lab{i} GROUP BY 1) s
+    )""")
+    unions = "\n    UNION ALL\n    ".join(f"SELECT * FROM agg{i}" for i in range(len(_SWEEP_TAUS)))
+    return f"""
+    WITH RECURSIVE
+    cp AS (SELECT vec_id_a AS a, vec_id_b AS b, cos_sim
+           FROM ({COSINE_NEARDUP_SQL}) p),
+    edges AS (SELECT a, b, cos_sim FROM cp
+              UNION ALL SELECT b, a, cos_sim FROM cp),
+    {",".join(blocks)}
+    SELECT * FROM ({unions}) t ORDER BY tau
+    """
+
+
+@register(
+    "r60_threshold_sweep",
+    _sweep_sql(),
+    doc="Dedup-threshold sweep — the knob-tuning view every curation "
+    "pipeline needs before committing to a similarity cutoff: "
+    "single-linkage cluster structure (cluster count, clustered-vector "
+    "count, largest cluster) at cosine thresholds 0.45/0.60/0.75, all "
+    "from ONE pair-generation pass (q54's exact relation, computed "
+    "once and localCheckpointed; each threshold only FILTERS the "
+    "rounded pair list, then runs the q74 pointer-jumped components). "
+    "Thresholds compare against the ROUND(cos,4) value on both "
+    "engines, so the filter can't flip on the raw float. Monotonicity "
+    "(largest cluster shrinks, cluster structure refines as τ rises) "
+    "is pinned in tests. At 100 TB: one candidate-generation pass "
+    "amortized over every threshold — the reason sweeps are cheap "
+    "relative to re-running dedup per candidate τ.",
+)
+def r60_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curation import connected_components
+
+    pairs = (
+        q54_cosine_neardup(spark, sf_dir)
+        .select("vec_id_a", "vec_id_b", "cos_sim")
+        # ONE generation pass feeds all three thresholds
+        .localCheckpoint(eager=True)
+    )
+    outs = []
+    for tau in _SWEEP_TAUS:
+        sub = pairs.where(F.col("cos_sim") >= float(tau)).select(
+            F.col("vec_id_a").alias("doc_id_a"),
+            F.col("vec_id_b").alias("doc_id_b"),
+        )
+        lab = connected_components(sub)
+        sizes = lab.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+        outs.append(
+            sizes.agg(
+                F.lit(float(tau)).alias("tau"),
+                F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+                F.coalesce(F.sum("sz"), F.lit(0)).cast("bigint").alias("n_clustered"),
+                F.coalesce(F.max("sz"), F.lit(0)).cast("bigint").alias("largest"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("tau")

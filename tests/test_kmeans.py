@@ -232,3 +232,21 @@ class TestDbscan:
             for r in r59_dbscan(spark, str(tmp_path)).collect()
         }
         assert got == {-1: (0, 1), 0: (3, 1), 4: (3, 0)}
+
+
+class TestThresholdSweep:
+    def test_monotone_refinement(self, spark):
+        from batch_processing_system_spark.queries.similarity import (
+            r60_threshold_sweep,
+        )
+
+        rows = sorted(
+            r60_threshold_sweep(spark, SF_SMALL).collect(),
+            key=lambda r: r["tau"],
+        )
+        assert [r["tau"] for r in rows] == [0.45, 0.60, 0.75]
+        # rising tau only removes edges: clustered mass and the largest
+        # cluster can never grow
+        for lo, hi in zip(rows, rows[1:]):
+            assert hi["n_clustered"] <= lo["n_clustered"]
+            assert hi["largest"] <= lo["largest"]

@@ -59,6 +59,9 @@ HEAVY_SET = [
     "r27_proration",
     "r48_allpairs_jaccard",
     "r52_bfs_hops",
+    "r57_kmeans",
+    "r58_embedding_covariance",
+    "r59_dbscan",
 ]
 
 DRIFT_FACTOR = 1.3  # same-plan ratio beyond this reads as host drift
