@@ -774,9 +774,9 @@ def r57_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # consumed 2x per round
     )
-    # bounded-collect: the K seed ids
     seed_ids = [
         int(r["vec_id"])
+        # bounded-collect: the K seed ids (limit(_KM_K) above)
         for r in e.select("vec_id").distinct().orderBy("vec_id").limit(_KM_K).collect()
     ]
     seed_df = spark.createDataFrame(
