@@ -435,3 +435,109 @@ def r55_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "age")
     )
+
+
+_ACF_MAXLAG = 7
+
+
+@register(
+    "r61_autocorrelation",
+    f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cnt) AS BIGINT) AS s
+        FROM daily GROUP BY 1
+    ),
+    centered AS (
+        SELECT d.event_type, d.d,
+               st.n * d.cnt - st.s AS c,
+               st.n
+        FROM daily d JOIN stats st USING (event_type)
+    ),
+    lagged AS (
+        SELECT event_type, c,
+               {", ".join(f"lead(c, {k}) OVER (PARTITION BY event_type ORDER BY d) AS c{k}" for k in range(1, _ACF_MAXLAG + 1))}
+        FROM centered
+    ),
+    sums AS (
+        SELECT event_type,
+               SUM(c * c) AS den,
+               {", ".join(f"SUM(c * c{k}) AS num{k}" for k in range(1, _ACF_MAXLAG + 1))}
+        FROM lagged GROUP BY 1
+    )
+    SELECT event_type, CAST(lag AS INT) AS lag,
+           ROUND(CAST(num AS DOUBLE) / den, 4) AS acf
+    FROM (
+        {" UNION ALL ".join(f"SELECT event_type, {k} AS lag, num{k} AS num, den FROM sums" for k in range(1, _ACF_MAXLAG + 1))}
+    ) t
+    WHERE num IS NOT NULL
+    ORDER BY event_type, lag
+    """,
+    doc="Autocorrelation function of the daily count series (lags "
+    "1..7, per event type) — r54's diagnostic companion: a weekly "
+    "seasonality shows up as an ACF spike at lag 7. Exactness by the "
+    "same cross-multiplication rule: centered values scale through "
+    "n·x_t − Σx (INTEGER — no float mean ever exists), the lag "
+    "products and both quadratic sums stay integer, and the single "
+    "float op is the final num/den division, ROUND 4dp. Lags via "
+    "lead() over the per-type day order (one window partition per "
+    "type, bounded by span days); truncated tails drop out as NULL "
+    "products on both engines identically. One shuffle on "
+    "event_type.",
+)
+def r61_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cnt").cast("bigint").alias("s"),
+    )
+    centered = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "d",
+        (F.col("n") * F.col("cnt") - F.col("s")).alias("c"),
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = centered.select(
+        "event_type",
+        "c",
+        *[F.lead("c", k).over(w).alias(f"c{k}") for k in range(1, _ACF_MAXLAG + 1)],
+    )
+    sums = lagged.groupBy("event_type").agg(
+        F.sum(F.col("c") * F.col("c")).alias("den"),
+        *[
+            F.sum(F.col("c") * F.col(f"c{k}")).alias(f"num{k}")
+            for k in range(1, _ACF_MAXLAG + 1)
+        ],
+    )
+    parts = [
+        sums.select(
+            "event_type",
+            F.lit(k).cast("int").alias("lag"),
+            F.col(f"num{k}").alias("num"),
+            F.col("den").alias("den"),
+        )
+        for k in range(1, _ACF_MAXLAG + 1)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return (
+        out.where(F.col("num").isNotNull())
+        .select(
+            "event_type",
+            "lag",
+            F.round(F.col("num").cast("double") / F.col("den"), 4).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )

@@ -113,3 +113,68 @@ class TestCohortLtv:
             assert all(a <= b + 1e-9 for a, b in zip(vals, vals[1:])), cohort
             expected = totals.get(cohort, 0.0)
             assert abs(vals[-1] - expected) < 1e-6, (cohort, vals[-1], expected)
+
+
+class TestAutocorrelation:
+    def test_planted_weekly_cycle_peaks_at_lag_7(self, spark, tmp_path):
+        # strict 7-day cycle in daily counts -> ACF(7) must dominate
+        # every other lag and sit near +1
+        base = datetime.date(2024, 1, 1)
+        pattern = [10, 1, 1, 1, 1, 1, 1]
+        rows = []
+        eid = 0
+        for day in range(35):
+            d = base + datetime.timedelta(days=day)
+            for j in range(pattern[day % 7]):
+                eid += 1
+                rows.append(
+                    (eid, datetime.datetime(d.year, d.month, d.day, 8, 0, j),
+                     1, "click", 1.0, "{}")
+                )
+        _write_events(spark, tmp_path, rows)
+        from batch_processing_system_spark.queries.temporal import (
+            r61_autocorrelation,
+        )
+
+        got = {
+            r["lag"]: r["acf"]
+            for r in r61_autocorrelation(spark, str(tmp_path)).collect()
+        }
+        # truncated-sum estimator: numerator has n-k terms over the
+        # full-n denominator, so a perfect 7-cycle gives EXACTLY
+        # (n-7)/n = 28/35 = 0.8 at lag 7
+        assert got[7] == 0.8
+        assert all(got[7] > got[k] + 0.5 for k in range(1, 7))
+
+    def test_reference_formula(self, spark):
+        # independent recomputation from the daily counts at sf0.001
+        from batch_processing_system_spark.engine.io import load_table
+        from batch_processing_system_spark.queries.temporal import (
+            r61_autocorrelation,
+        )
+
+        events = load_table(spark, SF_SMALL, "events")
+        daily = {}
+        for r in events.select(
+            "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+        ).collect():
+            daily.setdefault(r["event_type"], {}).setdefault(r["d"], 0)
+            daily[r["event_type"]][r["d"]] += 1
+        expect = {}
+        for t, m in daily.items():
+            days = sorted(m)
+            cnts = [m[d] for d in days]
+            n, s = len(cnts), sum(cnts)
+            c = [n * x - s for x in cnts]
+            den = sum(v * v for v in c)
+            for k in range(1, 8):
+                if len(c) > k:
+                    num = sum(c[i] * c[i + k] for i in range(len(c) - k))
+                    expect[(t, k)] = round(num / den, 4)
+        got = {
+            (r["event_type"], r["lag"]): r["acf"]
+            for r in r61_autocorrelation(spark, SF_SMALL).collect()
+        }
+        assert set(got) == set(expect)
+        for key in got:
+            assert abs(got[key] - expect[key]) < 2e-4, key
