@@ -397,6 +397,10 @@ def decode_and_resize(binary_df: DataFrame, width: int, height: int) -> DataFram
 
                     rgb = decode_ico_rgb(data)
                 if rgb is None:
+                    from .qoi import decode_qoi_rgb
+
+                    rgb = decode_qoi_rgb(data)
+                if rgb is None:
                     raise NotImplementedError(
                         f"decode_and_resize: {path!r} is not a BMP, PNG, "
                         "Huffman JPEG, baseline TIFF, PNM, or footered "
@@ -1100,10 +1104,14 @@ def extract_decode_stats(binary_df: DataFrame) -> DataFrame:
 
                         rgb = decode_ico_rgb(data)
                     if rgb is None:
+                        from .qoi import decode_qoi_rgb
+
+                        rgb = decode_qoi_rgb(data)
+                    if rgb is None:
                         raise NotImplementedError(
                             f"extract_decode_stats: {path!r} is not a BMP, "
                             "PNG, Huffman JPEG, TIFF, PNM, footered TGA, "
-                            "ICO, GIF, WAV/AIFF, or MJPEG AVI"
+                            "ICO, QOI, GIF, WAV/AIFF, or MJPEG/DIB AVI"
                         )
                     rows.append(
                         (path, "image", int(rgb.shape[1]), int(rgb.shape[0]),

@@ -31,6 +31,7 @@ from batch_processing_system_spark.functions.multimodal import (
     _gif_frames,
 )
 from batch_processing_system_spark.functions.pnm import decode_pnm_rgb
+from batch_processing_system_spark.functions.qoi import decode_qoi_rgb
 from batch_processing_system_spark.functions.tga import decode_tga_rgb
 from batch_processing_system_spark.functions.tiff import decode_tiff_rgb
 from batch_processing_system_spark.queries.media import FIXTURE_DIR
@@ -48,6 +49,7 @@ DECODERS = [
     decode_aiff,
     decode_ico_rgb,
     decode_apng_frames,
+    decode_qoi_rgb,
 ]
 
 CONTROLLED = (ValueError, NotImplementedError)
@@ -88,7 +90,7 @@ def watchdog():
 
 def _fixtures():
     files = sorted(glob.glob(os.path.join(FIXTURE_DIR, "*")))
-    assert len(files) >= 22
+    assert len(files) >= 23
     return files
 
 

@@ -27,6 +27,7 @@ import numpy as np
 from tests._flac_encoder import encode_flac
 from tests._aiff_ico_encoder import encode_aiff, encode_ico
 from tests._apng_encoder import encode_apng
+from tests._qoi_encoder import encode_qoi
 from tests.test_avi_dib import make_dib_avi
 from tests._pnm_tga_encoder import encode_pnm, encode_tga
 from tests._jpeg_encoder import encode_color, encode_color_progressive
@@ -199,6 +200,11 @@ def build_fixtures() -> dict[str, bytes]:
         "fx22_gradient_dib.avi": make_dib_avi(
             [[[tuple(px) for px in row] for row in grad]]
         ),
+        # the gradient a SEVENTH still-image time, as QOI — the one
+        # modern dependency-free lossless format
+        "fx23_gradient.qoi": encode_qoi(
+            [[tuple(px) for px in row] for row in grad]
+        ),
         "fx15_stereo.flac": encode_flac(
             [sine[:4000], [-s for s in sine[:4000]]],
             sample_rate=8000,
@@ -286,6 +292,12 @@ def main() -> None:
                 )
 
                 rgb = decode_ico_rgb(data)
+            if rgb is None:
+                from batch_processing_system_spark.functions.qoi import (
+                    decode_qoi_rgb,
+                )
+
+                rgb = decode_qoi_rgb(data)
             row = (name, "image", int(rgb.shape[1]), int(rgb.shape[0]), 1,
                    hashlib.sha256(rgb.tobytes()).hexdigest())
         f, k, w, h, n, s = row
