@@ -30,6 +30,7 @@ from batch_processing_system_spark.functions.multimodal import (
     _decode_png_rgb,
     _gif_frames,
 )
+from batch_processing_system_spark.functions.pcx import decode_pcx_rgb
 from batch_processing_system_spark.functions.pnm import decode_pnm_rgb
 from batch_processing_system_spark.functions.qoi import decode_qoi_rgb
 from batch_processing_system_spark.functions.tga import decode_tga_rgb
@@ -50,6 +51,7 @@ DECODERS = [
     decode_ico_rgb,
     decode_apng_frames,
     decode_qoi_rgb,
+    decode_pcx_rgb,
 ]
 
 CONTROLLED = (ValueError, NotImplementedError)
@@ -90,7 +92,7 @@ def watchdog():
 
 def _fixtures():
     files = sorted(glob.glob(os.path.join(FIXTURE_DIR, "*")))
-    assert len(files) >= 23
+    assert len(files) >= 24
     return files
 
 
