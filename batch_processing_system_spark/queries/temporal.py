@@ -541,3 +541,112 @@ def r61_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "lag")
     )
+
+
+_CCF_MAXLAG = 3
+_CCF_A, _CCF_B = "click", "purchase"
+
+
+@register(
+    "r62_crosscorrelation",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+               CAST(COUNT(*) FILTER (event_type = '{_CCF_A}') AS BIGINT) AS ca,
+               CAST(COUNT(*) FILTER (event_type = '{_CCF_B}') AS BIGINT) AS cb
+        FROM events
+        WHERE event_type IN ('{_CCF_A}', '{_CCF_B}')
+        GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(ca) AS BIGINT) AS sa,
+               CAST(SUM(cb) AS BIGINT) AS sb
+        FROM daily
+    ),
+    centered AS (
+        SELECT d.d,
+               st.n * d.ca - st.sa AS xa,
+               st.n * d.cb - st.sb AS xb
+        FROM daily d, stats st
+    ),
+    den AS (
+        SELECT SUM(xa * xa) AS da, SUM(xb * xb) AS db FROM centered
+    ),
+    lagged AS (
+        SELECT l.lag, SUM(p.xa * q.xb) AS num
+        FROM (SELECT unnest(range(-{_CCF_MAXLAG}, {_CCF_MAXLAG + 1})) AS lag) l
+        JOIN centered p ON TRUE
+        JOIN centered q ON q.d = p.d + CAST(l.lag AS INT)
+        GROUP BY 1
+    )
+    SELECT CAST(lag AS INT) AS lag,
+           ROUND(CAST(num AS DOUBLE)
+                 / sqrt(CAST(da AS DOUBLE) * CAST(db AS DOUBLE)), 4) AS ccf
+    FROM lagged, den
+    ORDER BY lag
+    """,
+    doc=f"Cross-correlation between the '{_CCF_A}' and '{_CCF_B}' "
+    "daily count series at lags −3..+3 — the lead/lag discovery view "
+    "(a positive-lag peak means clicks LEAD purchases). Same "
+    "integer-exact discipline as r61: both series center through "
+    "n·x − Σx on the SHARED day calendar (one conditional aggregation "
+    "builds both series — absent days are true zero counts), every "
+    "product and both denominators stay integer, and the only float "
+    "ops are the final sqrt(da·db) and division — the identical IEEE "
+    "pair on identical exact operands — then ROUND 4dp. The lag join "
+    "is an equi-join on date_add (calendar-sized); one shuffle for "
+    "the daily aggregation.",
+)
+def r62_crosscorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.where(F.col("event_type").isin(_CCF_A, _CCF_B))
+        .groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"))
+        .agg(
+            F.count(F.when(F.col("event_type") == _CCF_A, 1))
+            .cast("bigint")
+            .alias("ca"),
+            F.count(F.when(F.col("event_type") == _CCF_B, 1))
+            .cast("bigint")
+            .alias("cb"),
+        )
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ca").cast("bigint").alias("sa"),
+        F.sum("cb").cast("bigint").alias("sb"),
+    )
+    centered = daily.join(F.broadcast(stats)).select(
+        "d",
+        (F.col("n") * F.col("ca") - F.col("sa")).alias("xa"),
+        (F.col("n") * F.col("cb") - F.col("sb")).alias("xb"),
+    ).localCheckpoint(eager=True)  # three consumers below
+    den = centered.agg(
+        F.sum(F.col("xa") * F.col("xa")).alias("da"),
+        F.sum(F.col("xb") * F.col("xb")).alias("db"),
+    )
+    lags = spark.createDataFrame(
+        [(k,) for k in range(-_CCF_MAXLAG, _CCF_MAXLAG + 1)], "lag int"
+    )
+    p = centered.select(F.col("d").alias("dp"), "xa")
+    q = centered.select(F.col("d").alias("dq"), "xb")
+    lagged = (
+        p.crossJoin(F.broadcast(lags))
+        .withColumn("dq", F.date_add(F.col("dp"), F.col("lag")))
+        .join(q, "dq")
+        .groupBy("lag")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("num"))
+    )
+    return (
+        lagged.join(F.broadcast(den))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            F.round(
+                F.col("num").cast("double")
+                / F.sqrt(F.col("da").cast("double") * F.col("db").cast("double")),
+                4,
+            ).alias("ccf"),
+        )
+        .orderBy("lag")
+    )

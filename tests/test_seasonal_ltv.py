@@ -178,3 +178,40 @@ class TestAutocorrelation:
         assert set(got) == set(expect)
         for key in got:
             assert abs(got[key] - expect[key]) < 2e-4, key
+
+
+class TestCrossCorrelation:
+    def test_planted_lead_detected(self, spark, tmp_path):
+        # clicks spike on day d, purchases spike on day d+2 -> the CCF
+        # must peak at lag +2 (clicks lead by 2 days)
+        base = datetime.date(2024, 1, 1)
+        rows = []
+        eid = 0
+        for day in range(28):
+            d = base + datetime.timedelta(days=day)
+            n_click = 9 if day % 7 == 0 else 1
+            n_purch = 9 if day % 7 == 2 else 1
+            for j in range(n_click):
+                eid += 1
+                rows.append(
+                    (eid, datetime.datetime(d.year, d.month, d.day, 8, 0, j),
+                     1, "click", 1.0, "{}")
+                )
+            for j in range(n_purch):
+                eid += 1
+                rows.append(
+                    (eid, datetime.datetime(d.year, d.month, d.day, 9, 0, j),
+                     1, "purchase", 2.0, "{}")
+                )
+        _write_events(spark, tmp_path, rows)
+        from batch_processing_system_spark.queries.temporal import (
+            r62_crosscorrelation,
+        )
+
+        got = {
+            r["lag"]: r["ccf"]
+            for r in r62_crosscorrelation(spark, str(tmp_path)).collect()
+        }
+        assert set(got) == set(range(-3, 4))
+        assert max(got, key=got.get) == 2
+        assert got[2] > 0.5
