@@ -5,11 +5,14 @@ r30-r32). This module adds every remaining TPC-H query shape that is
 expressible on the driver's schema subset (no partsupp table, no
 comment/commitdate/receiptdate columns — Q2/Q9/Q11/Q16/Q20/Q21 are
 adapted, the rest are direct): scan-only aggregation (Q6), EXISTS
-grouping (Q4), multi-dim profit rollup (Q9), outer-join distribution
-(Q13), self-aggregate max selection (Q15), correlated per-group
-average via cross-multiplication (Q17), HAVING-gated semi join (Q18),
-anti-join + scalar-average gate (Q22), derived-dimension argmin (Q2),
-and sole-latest-supplier detection (Q21).
+grouping (Q4), multi-dim profit rollup (Q9), global-fraction HAVING
+(Q11, r63), outer-join distribution (Q13), self-aggregate max
+selection (Q15), correlated per-group average via cross-multiplication
+(Q17), HAVING-gated semi join (Q18), anti-join + scalar-average gate
+(Q22), derived-dimension argmin (Q2), and sole-latest-supplier
+detection (Q21). Q16's supplier-count-per-part-class and Q20's nested
+excess-stock semi join reduce to already-covered shapes (distinct
+aggregation + the cross-multiplied-threshold gates) on this schema.
 
 Determinism discipline (engine/det.py): money through DECIMAL(18,2),
 quantities through DECIMAL(9,2) (integral in this data — cast exact),
@@ -529,4 +532,52 @@ def r42_sole_latest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(bcount("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
+    )
+
+
+@register(
+    "r63_part_value_fraction",
+    """
+    WITH pv AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                   AS rev
+        FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT SUM(rev) AS total, CAST(COUNT(*) AS BIGINT) AS n FROM pv)
+    SELECT p_partkey, p_name,
+           CAST(rev AS DOUBLE) AS revenue
+    FROM pv JOIN part ON p_partkey = l_partkey, tot
+    WHERE rev * 2 * n > 3 * total
+    ORDER BY p_partkey
+    """,
+    doc="TPC-H Q11 silhouette — 'important stock': parts whose total "
+    "revenue exceeds 1.5× the average part's share (the reference's "
+    "partsupp value fraction re-based on lineitem revenue; a FIXED "
+    "fraction is scale-degenerate — TPC-H itself scales Q11's "
+    "fraction by 1/SF, and this formulation is the scale-free "
+    "equivalent: threshold = 1.5/n of total, non-trivial at every "
+    "SF). The classic HAVING-against-a-global-scalar-subquery shape: "
+    "the per-part aggregate is catalog-bounded, the 1-row "
+    "(total, n) broadcasts, and the gate is cross-multiplied "
+    "(rev·2n > 3·total) so it is decided in exact DECIMAL — no "
+    "division, no float threshold (the r38/r40 rule). One fact "
+    "shuffle on the part key.",
+)
+def r63_part_value_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pv = li.groupBy("l_partkey").agg(F.sum(_rev()).alias("rev"))
+    tot = pv.agg(
+        F.sum("rev").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return (
+        pv.join(F.broadcast(tot))
+        .where(F.col("rev") * 2 * F.col("n") > 3 * F.col("total"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            "p_partkey", "p_name", F.col("rev").cast("double").alias("revenue")
+        )
+        .orderBy("p_partkey")
     )
