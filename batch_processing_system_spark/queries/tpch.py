@@ -581,3 +581,61 @@ def r63_part_value_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "r64_share_of_total",
+    """
+    WITH nr AS (
+        SELECT r_name, n_name,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                   AS rev
+        FROM region
+        JOIN nation   ON n_regionkey = r_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY 1, 2)
+    SELECT r_name, n_name,
+           CAST(rev AS DOUBLE) AS revenue,
+           ROUND(CAST(rev AS DOUBLE)
+                 / CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE),
+                 4) AS region_share
+    FROM nr
+    ORDER BY r_name, n_name
+    """,
+    doc="Ratio-to-report — each nation's share of its REGION's revenue "
+    "(the classic percent-of-total OLAP idiom, a window aggregate "
+    "with no frame over the q65 rollup). Revenue accumulates in "
+    "DECIMAL; the window total is a DECIMAL sum of the |nations| "
+    "group rows (exact at any order); the share divides two exact "
+    "decimals cast to double (one IEEE op, identical both engines), "
+    "ROUND 4dp. The window partitions by region over a "
+    "nation-cardinality table — dims-sized, never a fact-sized "
+    "window.",
+)
+def r64_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    region, nation, customer, orders, li = (
+        load_table(spark, sf_dir, t)
+        for t in ("region", "nation", "customer", "orders", "lineitem")
+    )
+    nr = (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(_rev()).alias("rev"))
+    )
+    w = Window.partitionBy("r_name")
+    return nr.select(
+        "r_name",
+        "n_name",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(w).cast("double"), 4
+        ).alias("region_share"),
+    ).orderBy("r_name", "n_name")
