@@ -33,6 +33,7 @@ from batch_processing_system_spark.functions.multimodal import (
 from batch_processing_system_spark.functions.pcx import decode_pcx_rgb
 from batch_processing_system_spark.functions.pnm import decode_pnm_rgb
 from batch_processing_system_spark.functions.qoi import decode_qoi_rgb
+from batch_processing_system_spark.functions.sunras import decode_sunras_rgb
 from batch_processing_system_spark.functions.tga import decode_tga_rgb
 from batch_processing_system_spark.functions.tiff import decode_tiff_rgb
 from batch_processing_system_spark.queries.media import FIXTURE_DIR
@@ -52,6 +53,7 @@ DECODERS = [
     decode_apng_frames,
     decode_qoi_rgb,
     decode_pcx_rgb,
+    decode_sunras_rgb,
 ]
 
 CONTROLLED = (ValueError, NotImplementedError)
@@ -92,7 +94,7 @@ def watchdog():
 
 def _fixtures():
     files = sorted(glob.glob(os.path.join(FIXTURE_DIR, "*")))
-    assert len(files) >= 24
+    assert len(files) >= 25
     return files
 
 

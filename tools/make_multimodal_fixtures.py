@@ -29,6 +29,7 @@ from tests._aiff_ico_encoder import encode_aiff, encode_ico
 from tests._apng_encoder import encode_apng
 from tests._qoi_encoder import encode_qoi
 from tests.test_pcx import encode_pcx
+from tests.test_sunras import encode_sunras
 from tests.test_avi_dib import make_dib_avi
 from tests._pnm_tga_encoder import encode_pnm, encode_tga
 from tests._jpeg_encoder import encode_color, encode_color_progressive
@@ -210,6 +211,10 @@ def build_fixtures() -> dict[str, bytes]:
         "fx24_gradient.pcx": encode_pcx(
             [[tuple(px) for px in row] for row in grad]
         ),
+        # a NINTH still rendering: Sun raster, BYTE_ENCODED RLE
+        "fx25_gradient.ras": encode_sunras(
+            [[tuple(px) for px in row] for row in grad], rtype=2
+        ),
         "fx15_stereo.flac": encode_flac(
             [sine[:4000], [-s for s in sine[:4000]]],
             sample_rate=8000,
@@ -309,6 +314,12 @@ def main() -> None:
                 )
 
                 rgb = decode_pcx_rgb(data)
+            if rgb is None:
+                from batch_processing_system_spark.functions.sunras import (
+                    decode_sunras_rgb,
+                )
+
+                rgb = decode_sunras_rgb(data)
             row = (name, "image", int(rgb.shape[1]), int(rgb.shape[0]), 1,
                    hashlib.sha256(rgb.tobytes()).hexdigest())
         f, k, w, h, n, s = row
