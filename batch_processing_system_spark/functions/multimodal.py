@@ -409,6 +409,10 @@ def decode_and_resize(binary_df: DataFrame, width: int, height: int) -> DataFram
 
                     rgb = decode_sunras_rgb(data)
                 if rgb is None:
+                    from .xbm import decode_xbm_rgb
+
+                    rgb = decode_xbm_rgb(data)
+                if rgb is None:
                     raise NotImplementedError(
                         f"decode_and_resize: {path!r} is not a BMP, PNG, "
                         "Huffman JPEG, baseline TIFF, PNM, or footered "
@@ -1124,11 +1128,15 @@ def extract_decode_stats(binary_df: DataFrame) -> DataFrame:
 
                         rgb = decode_sunras_rgb(data)
                     if rgb is None:
+                        from .xbm import decode_xbm_rgb
+
+                        rgb = decode_xbm_rgb(data)
+                    if rgb is None:
                         raise NotImplementedError(
                             f"extract_decode_stats: {path!r} is not a BMP, "
                             "PNG, Huffman JPEG, TIFF, PNM, footered TGA, "
-                            "ICO, QOI, PCX, Sun raster, GIF, WAV/AIFF, or "
-                            "MJPEG/DIB AVI"
+                            "ICO, QOI, PCX, Sun raster, XBM, GIF, WAV/AIFF, "
+                            "or MJPEG/DIB AVI"
                         )
                     rows.append(
                         (path, "image", int(rgb.shape[1]), int(rgb.shape[0]),

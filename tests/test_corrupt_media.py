@@ -36,6 +36,7 @@ from batch_processing_system_spark.functions.qoi import decode_qoi_rgb
 from batch_processing_system_spark.functions.sunras import decode_sunras_rgb
 from batch_processing_system_spark.functions.tga import decode_tga_rgb
 from batch_processing_system_spark.functions.tiff import decode_tiff_rgb
+from batch_processing_system_spark.functions.xbm import decode_xbm_rgb
 from batch_processing_system_spark.queries.media import FIXTURE_DIR
 
 DECODERS = [
@@ -54,6 +55,7 @@ DECODERS = [
     decode_qoi_rgb,
     decode_pcx_rgb,
     decode_sunras_rgb,
+    decode_xbm_rgb,
 ]
 
 CONTROLLED = (ValueError, NotImplementedError)
@@ -94,7 +96,7 @@ def watchdog():
 
 def _fixtures():
     files = sorted(glob.glob(os.path.join(FIXTURE_DIR, "*")))
-    assert len(files) >= 25
+    assert len(files) >= 26
     return files
 
 

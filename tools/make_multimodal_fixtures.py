@@ -30,6 +30,7 @@ from tests._apng_encoder import encode_apng
 from tests._qoi_encoder import encode_qoi
 from tests.test_pcx import encode_pcx
 from tests.test_sunras import encode_sunras
+from tests.test_xbm import encode_xbm
 from tests.test_avi_dib import make_dib_avi
 from tests._pnm_tga_encoder import encode_pnm, encode_tga
 from tests._jpeg_encoder import encode_color, encode_color_progressive
@@ -215,6 +216,11 @@ def build_fixtures() -> dict[str, bytes]:
         "fx25_gradient.ras": encode_sunras(
             [[tuple(px) for px in row] for row in grad], rtype=2
         ),
+        # a text-format entry: X11 bitmap (C source) — the only
+        # non-binary image lane; a 13x11 checker-diagonal glyph
+        "fx26_glyph.xbm": encode_xbm(
+            [[(x * y + x + y) % 3 % 2 for x in range(13)] for y in range(11)]
+        ),
         "fx15_stereo.flac": encode_flac(
             [sine[:4000], [-s for s in sine[:4000]]],
             sample_rate=8000,
@@ -320,6 +326,12 @@ def main() -> None:
                 )
 
                 rgb = decode_sunras_rgb(data)
+            if rgb is None:
+                from batch_processing_system_spark.functions.xbm import (
+                    decode_xbm_rgb,
+                )
+
+                rgb = decode_xbm_rgb(data)
             row = (name, "image", int(rgb.shape[1]), int(rgb.shape[0]), 1,
                    hashlib.sha256(rgb.tobytes()).hexdigest())
         f, k, w, h, n, s = row
