@@ -2192,3 +2192,133 @@ def r56_rolling_actives_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", F.col("active_users_est").cast("bigint").alias("active_users_est"))
         .orderBy("day")
     )
+
+
+_RFM_BUCKETS = 5
+
+
+@register(
+    "r66_rfm",
+    f"""
+    WITH p AS (
+        SELECT user_id,
+               MAX(ts) AS last_ts,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               SUM(CAST(value AS DECIMAL(12,2))) AS monetary
+        FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+        GROUP BY user_id
+    ),
+    mx AS (SELECT MAX(last_ts) AS maxts, CAST(COUNT(*) AS BIGINT) AS n FROM p),
+    scored AS (
+        SELECT user_id,
+               date_diff('day', CAST(last_ts AS TIMESTAMP),
+                         CAST(maxts AS TIMESTAMP)) AS recency_days,
+               freq, monetary, n
+        FROM p, mx
+    ),
+    ranked AS (
+        SELECT user_id, n,
+               ROW_NUMBER() OVER (ORDER BY recency_days, user_id) AS rr,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, user_id) AS rf,
+               ROW_NUMBER() OVER (ORDER BY monetary DESC, user_id) AS rm
+        FROM scored
+    ),
+    seg AS (
+        SELECT ((rr - 1) * {_RFM_BUCKETS} // n) + 1 AS r_score,
+               ((rf - 1) * {_RFM_BUCKETS} // n) + 1 AS f_score,
+               ((rm - 1) * {_RFM_BUCKETS} // n) + 1 AS m_score
+        FROM ranked
+    )
+    SELECT CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM seg
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    doc="RFM segmentation — the classic marketing composition: per "
+    "purchasing user, Recency (days since last purchase, vs the "
+    "corpus max), Frequency (purchase count) and Monetary (DECIMAL "
+    "revenue), each quintiled 1=best..5 by the r46 engine-neutral "
+    "bucket formula floor((rank−1)·5/n)+1 over a TOTAL order "
+    "(metric, then user_id — ties never flip between engines; "
+    "recency ranks ascending, frequency/monetary descending so "
+    "score 1 is always 'best'), then user counts per (R,F,M) cell. "
+    "Spark computes the three ranks with ONE pinned-pid distributed "
+    "ECDF per metric (the r12/r46 shape — no single-partition "
+    "window); the per-user purchase rollup is one shuffle and the "
+    "rank tables are user-sized.",
+)
+def r66_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    p = (
+        events.where(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("monetary"),
+        )
+    )
+    mx = p.agg(
+        F.max("last_ts").alias("maxts"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    scored = p.join(F.broadcast(mx)).select(
+        "user_id",
+        F.datediff(F.col("maxts"), F.col("last_ts")).alias("recency_days"),
+        "freq",
+        "monetary",
+        "n",
+    ).localCheckpoint(eager=True)  # three rank passes below
+
+    def _rank(df: DataFrame, order_cols, alias: str) -> DataFrame:
+        """Global dense row_number over a total order via the
+        pinned-pid distributed ECDF (r12/r46 discipline)."""
+        parts = (
+            df.repartitionByRange(16, *order_cols, "user_id")
+            .withColumn("pid", F.spark_partition_id())
+            # eager: pid feeds the offsets collect and the final plan
+            .localCheckpoint(eager=True)
+        )
+        # bounded-collect: one row per range partition
+        per = parts.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()
+        off = 0
+        offs = []
+        for r in sorted(per, key=lambda r: r["pid"]):
+            offs.append((int(r["pid"]), off))
+            off += int(r["c"])
+        off_df = df.sparkSession.createDataFrame(offs, "pid int, off bigint")
+        w = Window.partitionBy("pid").orderBy(*order_cols, "user_id")
+        return parts.join(F.broadcast(off_df), "pid").select(
+            "user_id", (F.row_number().over(w) + F.col("off")).alias(alias)
+        )
+
+    rr = _rank(scored.select("user_id", "recency_days"), [F.col("recency_days")], "rr")
+    rf = _rank(scored.select("user_id", "freq"), [F.col("freq").desc()], "rf")
+    rm = _rank(scored.select("user_id", "monetary"), [F.col("monetary").desc()], "rm")
+    ranked = (
+        scored.select("user_id", "n")
+        .join(rr, "user_id")
+        .join(rf, "user_id")
+        .join(rm, "user_id")
+    )
+    k = _RFM_BUCKETS
+
+    def score(col):
+        return (F.expr(f"(({col} - 1) * {k}) div n") + 1).cast("int")
+
+    return (
+        ranked.select(
+            score("rr").alias("r_score"),
+            score("rf").alias("f_score"),
+            score("rm").alias("m_score"),
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("r_score", "f_score", "m_score")
+    )

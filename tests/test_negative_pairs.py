@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from collections import Counter
 
+from pyspark.sql import functions as F
+
 from batch_processing_system_spark.queries.packing import (
     NEG_K,
     r53_negative_pairs,
@@ -59,3 +61,29 @@ class TestRollingActivesHll:
                 for r in r56_rolling_actives_hll(spark, sf).collect()
             }
             assert again == est, sf
+
+
+class TestRfm:
+    def test_quintiles_balanced_and_best_is_one(self, spark):
+        from batch_processing_system_spark.queries.wrangling import r66_rfm
+        from batch_processing_system_spark.engine.io import load_table
+
+        rows = r66_rfm(spark, SF_SMALL).collect()
+        total = sum(r["n_users"] for r in rows)
+        events = load_table(spark, SF_SMALL, "events")
+        n_buyers = (
+            events.where(
+                (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+            )
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert total == n_buyers
+        # each score dimension partitions users into balanced quintiles
+        for dim in ("r_score", "f_score", "m_score"):
+            per = {}
+            for r in rows:
+                per[r[dim]] = per.get(r[dim], 0) + r["n_users"]
+            assert set(per) == {1, 2, 3, 4, 5}, dim
+            assert max(per.values()) - min(per.values()) <= 1, (dim, per)
