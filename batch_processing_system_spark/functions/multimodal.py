@@ -415,9 +415,10 @@ def decode_and_resize(binary_df: DataFrame, width: int, height: int) -> DataFram
                 if rgb is None:
                     raise NotImplementedError(
                         f"decode_and_resize: {path!r} is not a BMP, PNG, "
-                        "Huffman JPEG, baseline TIFF, PNM, or footered "
-                        "TGA, and Pillow (PIL) is not installed; install "
-                        "Pillow for other formats"
+                        "Huffman JPEG, baseline TIFF, PNM, footered TGA, "
+                        "ICO, QOI, PCX, Sun raster, or XBM, and Pillow "
+                        "(PIL) is not installed; install Pillow for other "
+                        "formats"
                     )
                 rows.append(
                     (path, [int(v) for v in _resize_nearest(rgb, width, height).ravel()])

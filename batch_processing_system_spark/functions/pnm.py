@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .guard import controlled_decode
+
 _MAGICS = {b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"}
 _WS = b" \t\r\n\x0b\x0c"
 
@@ -59,6 +61,7 @@ def _scale(arr: np.ndarray, maxval: int) -> np.ndarray:
     return ((a * 255 + maxval // 2) // maxval).astype(np.uint8)
 
 
+@controlled_decode("PNM")
 def decode_pnm_rgb(data: bytes):
     """Decode any P1..P6 Netpbm image to an (h, w, 3) uint8 RGB array;
     returns None if ``data`` is not PNM (wrong magic)."""

@@ -21,6 +21,8 @@ import struct
 
 import numpy as np
 
+from .guard import controlled_decode
+
 FOOTER_SIG = b"TRUEVISION-XFILE.\x00"
 
 
@@ -79,6 +81,7 @@ def _unrle(data: bytes, pos: int, n_px: int, bytes_px: int) -> np.ndarray:
     return out
 
 
+@controlled_decode("TGA")
 def decode_tga_rgb(data: bytes, require_footer: bool = False):
     """Decode a TGA image to an (h, w, 3) uint8 RGB array.
 

@@ -228,8 +228,13 @@ def r52_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(1, _BFS_HOPS + 1):
         if frontier.isEmpty():
             break
+        # Frontier grows to node scale (nearly all nodes by hop 2 on
+        # this bipartite graph), so it must NOT be broadcast: a
+        # shuffle-hash join keyed on src keeps every superstep's
+        # memory per-task bounded; AQE may still choose broadcast when
+        # runtime stats show the frontier is genuinely small.
         reached = (
-            edges.join(F.broadcast(frontier), edges.src == frontier.node)
+            edges.join(frontier.hint("shuffle_hash"), edges.src == frontier.node)
             .select(F.col("dst").alias("node"))
             .distinct()
         )

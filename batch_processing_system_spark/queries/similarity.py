@@ -991,9 +991,13 @@ def r59_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = edges.groupBy(F.col("a").alias("v")).agg(F.count(F.lit(1)).alias("d"))
     core = deg.where(F.col("d") >= _DBSCAN_MINPTS - 1).select("v")
+    # The core set is node-scale (in a dense corpus nearly every
+    # vector is core), so it must NOT be broadcast: semi-join-shaped
+    # shuffle-hash joins keep per-task memory bounded; AQE can still
+    # downgrade to broadcast when runtime stats show core is tiny.
     core_edges = (
-        edges.join(F.broadcast(core.select(F.col("v").alias("a"))), "a")
-        .join(F.broadcast(core.select(F.col("v").alias("b"))), "b")
+        edges.join(core.select(F.col("v").alias("a")).hint("shuffle_hash"), "a")
+        .join(core.select(F.col("v").alias("b")).hint("shuffle_hash"), "b")
         .select(F.col("a").alias("doc_id_a"), F.col("b").alias("doc_id_b"))
     )
     comp = connected_components(core_edges).select(

@@ -457,7 +457,7 @@ _ACF_MAXLAG = 7
     ),
     centered AS (
         SELECT d.event_type, d.d,
-               st.n * d.cnt - st.s AS c,
+               CAST(st.n * d.cnt - st.s AS DECIMAL(19,0)) AS c,
                st.n
         FROM daily d JOIN stats st USING (event_type)
     ),
@@ -485,7 +485,9 @@ _ACF_MAXLAG = 7
     "seasonality shows up as an ACF spike at lag 7. Exactness by the "
     "same cross-multiplication rule: centered values scale through "
     "n·x_t − Σx (INTEGER — no float mean ever exists), the lag "
-    "products and both quadratic sums stay integer, and the single "
+    "products and both quadratic sums accumulate in DECIMAL(38,0) "
+    "(exact for any int64 centered value — c² would silently wrap "
+    "BIGINT at |c| ~ 3e9 in non-ANSI Spark), and the single "
     "float op is the final num/den division, ROUND 4dp. Lags via "
     "lead() over the per-type day order (one window partition per "
     "type, bounded by span days); truncated tails drop out as NULL "
@@ -502,10 +504,16 @@ def r61_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("cnt").cast("bigint").alias("s"),
     )
+    # Centering stays BIGINT (headroom: n·cnt needs cnt·span_days <
+    # 9.2e18 — ~1e13 events/day over 1e5 days); the QUADRATIC sums do
+    # NOT have that headroom (c² wraps at |c| ~ 3e9), so c is cast to
+    # DECIMAL(19,0) making c·c / c·c_k DECIMAL(38,0) — exact for any
+    # int64 c, and an overflow surfaces as NULL/error instead of the
+    # silent wrap non-ANSI Spark would give on BIGINT.
     centered = daily.join(F.broadcast(stats), "event_type").select(
         "event_type",
         "d",
-        (F.col("n") * F.col("cnt") - F.col("s")).alias("c"),
+        (F.col("n") * F.col("cnt") - F.col("s")).cast("decimal(19,0)").alias("c"),
     )
     w = Window.partitionBy("event_type").orderBy("d")
     lagged = centered.select(
@@ -566,8 +574,8 @@ _CCF_A, _CCF_B = "click", "purchase"
     ),
     centered AS (
         SELECT d.d,
-               st.n * d.ca - st.sa AS xa,
-               st.n * d.cb - st.sb AS xb
+               CAST(st.n * d.ca - st.sa AS DECIMAL(19,0)) AS xa,
+               CAST(st.n * d.cb - st.sb AS DECIMAL(19,0)) AS xb
         FROM daily d, stats st
     ),
     den AS (
@@ -592,7 +600,8 @@ _CCF_A, _CCF_B = "click", "purchase"
     "integer-exact discipline as r61: both series center through "
     "n·x − Σx on the SHARED day calendar (one conditional aggregation "
     "builds both series — absent days are true zero counts), every "
-    "product and both denominators stay integer, and the only float "
+    "product and both denominators accumulate in DECIMAL(38,0) "
+    "(exact for any int64 centered value), and the only float "
     "ops are the final sqrt(da·db) and division — the identical IEEE "
     "pair on identical exact operands — then ROUND 4dp. The lag join "
     "is an equi-join on date_add (calendar-sized); one shuffle for "
@@ -617,10 +626,13 @@ def r62_crosscorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ca").cast("bigint").alias("sa"),
         F.sum("cb").cast("bigint").alias("sb"),
     )
+    # Same overflow posture as r61: centering in BIGINT (documented
+    # headroom), quadratic sums in DECIMAL(38,0) via DECIMAL(19,0)
+    # operands so xa·xb is exact for any int64 inputs on BOTH engines.
     centered = daily.join(F.broadcast(stats)).select(
         "d",
-        (F.col("n") * F.col("ca") - F.col("sa")).alias("xa"),
-        (F.col("n") * F.col("cb") - F.col("sb")).alias("xb"),
+        (F.col("n") * F.col("ca") - F.col("sa")).cast("decimal(19,0)").alias("xa"),
+        (F.col("n") * F.col("cb") - F.col("sb")).cast("decimal(19,0)").alias("xb"),
     ).localCheckpoint(eager=True)  # three consumers below
     den = centered.agg(
         F.sum(F.col("xa") * F.col("xa")).alias("da"),

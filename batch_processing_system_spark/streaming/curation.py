@@ -24,6 +24,17 @@ replay contract the other twins share:
 Candidate generation is MinHash banding (the q42 family, seed-stable
 across batches); recall vs the exact inverted index is MEASURED by the
 equality test, not assumed.
+
+Idempotency under foreachBatch's at-least-once replay: every write —
+the three state stores AND the accepted output — is keyed by the
+micro-batch id (``bid=<N>`` partition directories, mode=overwrite),
+and every state-store READ excludes the current batch id. A replayed
+batch therefore sees exactly the pre-batch store state (a crashed
+attempt's partial appends are filtered out, not treated as earlier
+arrivals), recomputes the same deterministic decisions, and
+overwrites its own partitions — no marker file, no lost acceptances,
+no duplicate store rows. tests/test_streaming_curation.py replays a
+batch on top of its own partial state to pin this.
 """
 
 from __future__ import annotations
@@ -37,7 +48,6 @@ from pyspark.sql import types as T
 from .neardup import (
     BAND_SCHEMA,
     _band_table,
-    _read_or_empty,
     _verified_pairs,
 )
 
@@ -63,12 +73,35 @@ ACCEPTED_SCHEMA = (
 )
 
 
+def _read_store(
+    spark: SparkSession, path: str, schema, current_bid: int
+) -> DataFrame:
+    """Read a bid-partitioned state store, excluding the current
+    batch's own partition (a crashed earlier attempt of THIS batch may
+    have left partial rows there — they are not earlier arrivals)."""
+    cols = [f.name for f in schema.fields]
+    if not os.path.exists(path):
+        return spark.createDataFrame([], schema)
+    try:
+        df = spark.read.parquet(path)
+    except Exception:  # dir exists but holds no committed footers yet
+        return spark.createDataFrame([], schema)
+    return df.where(F.col("bid") != current_bid).select(*cols)
+
+
+def _write_store(df: DataFrame, path: str, current_bid: int) -> None:
+    """Overwrite the store partition keyed by this batch id — replay
+    rewrites identical content instead of duplicating appends."""
+    df.write.mode("overwrite").parquet(os.path.join(path, f"bid={current_bid}"))
+
+
 def curation_batch(
-    spark: SparkSession, batch: DataFrame, state_dir: str
+    spark: SparkSession, batch: DataFrame, state_dir: str, batch_id: int = 0
 ) -> DataFrame:
     """Run one micro-batch through the full pipeline against the
-    persistent stores under ``state_dir``; returns the accepted rows
-    (appended to the output store by the caller)."""
+    persistent stores under ``state_dir``; returns the accepted rows.
+    All store writes are keyed by ``batch_id`` and overwritten, so
+    re-running the same (batch, batch_id) is a no-op state-wise."""
     from ..queries.similarity import _shingles
 
     docs_path = os.path.join(state_dir, "docs")
@@ -91,7 +124,7 @@ def curation_batch(
 
     # --- near-dup b-side rule vs EVERY earlier doc -------------------
     bands = _band_table(batch).localCheckpoint(eager=True)
-    store_bands = _read_or_empty(spark, bands_path, BAND_SCHEMA)
+    store_bands = _read_store(spark, bands_path, BAND_SCHEMA, batch_id)
     cross = (
         bands.alias("new")
         .join(
@@ -116,7 +149,7 @@ def curation_batch(
         .distinct()
     )
     cand = cross.unionAll(wb).distinct()
-    store_docs = _read_or_empty(spark, docs_path, _DOC_SCHEMA)
+    store_docs = _read_store(spark, docs_path, _DOC_SCHEMA, batch_id)
     involved_old = store_docs.join(
         cand.select(F.col("da").alias("doc_id")).distinct(),
         "doc_id",
@@ -136,7 +169,7 @@ def curation_batch(
         (F.col("n_tokens") >= 10)
         & (F.col("n_uniq") * 10 >= F.col("n_tokens") * 3)
     )
-    digest_store = _read_or_empty(spark, digests_path, _DIGEST_SCHEMA)
+    digest_store = _read_store(spark, digests_path, _DIGEST_SCHEMA, batch_id)
     first_in_batch = (
         quality.groupBy("h")
         .agg(F.min("doc_id").alias("keep_id"))
@@ -164,10 +197,12 @@ def curation_batch(
         .localCheckpoint(eager=True)
     )
 
-    # --- store appends (EVERY doc indexes; quality digests only) -----
-    batch.select("doc_id", "text").write.mode("append").parquet(docs_path)
-    bands.select("band", "h", "doc_id").write.mode("append").parquet(bands_path)
-    quality.select("h").distinct().write.mode("append").parquet(digests_path)
+    # --- store writes, keyed by batch id (EVERY doc indexes; quality
+    # digests only); overwrite-per-bid makes replay a rewrite, not a
+    # duplicate append ------------------------------------------------
+    _write_store(batch.select("doc_id", "text"), docs_path, batch_id)
+    _write_store(bands.select("band", "h", "doc_id"), bands_path, batch_id)
+    _write_store(quality.select("h").distinct(), digests_path, batch_id)
     return accepted
 
 
@@ -181,9 +216,15 @@ def run_curation_stream(
     """Replayed document JSONL → append-only curated corpus."""
     src = spark.readStream.schema(INCOMING_CURATION_SCHEMA).json(incoming_dir)
 
-    def sink(batch_df: DataFrame, _bid: int) -> None:
-        accepted = curation_batch(batch_df.sparkSession, batch_df, state_dir)
-        accepted.write.mode("append").parquet(out_path)
+    def sink(batch_df: DataFrame, bid: int) -> None:
+        accepted = curation_batch(
+            batch_df.sparkSession, batch_df, state_dir, batch_id=bid
+        )
+        # output is keyed by bid too: replay overwrites its own
+        # partition instead of appending duplicates
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"bid={bid}")
+        )
 
     return (
         src.writeStream.foreachBatch(sink)

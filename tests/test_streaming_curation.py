@@ -78,3 +78,40 @@ class TestCurationStream:
         assert got == batch
         # acceptance is final: wave-1 rows all survive into the end state
         assert wave1 <= got
+
+    def test_replay_same_batch_is_idempotent(self, spark, tmp_path, doc_waves):
+        """foreachBatch is at-least-once: after a batch commits its
+        stores, a replay of the SAME batch id must reproduce the same
+        acceptances (not reject everything as dups against its own
+        partial state) and must not grow the stores."""
+        import shutil
+
+        from batch_processing_system_spark.streaming.curation import (
+            INCOMING_CURATION_SCHEMA,
+            curation_batch,
+        )
+
+        incoming = tmp_path / "incoming"
+        incoming.mkdir()
+        state = tmp_path / "state"
+        out = tmp_path / "out"
+        ckpt = tmp_path / "ckpt"
+        shutil.copy(doc_waves[0], incoming / "wave0.jsonl")
+        q = run_curation_stream(
+            spark, str(incoming), str(state), str(out), str(ckpt)
+        ).start()
+        q.awaitTermination()
+        first = _rows(spark.read.parquet(str(out)))
+        docs_n = spark.read.parquet(str(state / "docs")).count()
+        bands_n = spark.read.parquet(str(state / "bands")).count()
+        batch = spark.read.schema(INCOMING_CURATION_SCHEMA).json(
+            str(incoming / "wave0.jsonl")
+        )
+        replay = curation_batch(spark, batch, str(state), batch_id=0)
+        got = {
+            (r["doc_id"], r["lang"], r["n_tokens"], r["split"])
+            for r in replay.collect()
+        }
+        assert got == first
+        assert spark.read.parquet(str(state / "docs")).count() == docs_n
+        assert spark.read.parquet(str(state / "bands")).count() == bands_n
