@@ -96,22 +96,16 @@ def train_bpe(
 def corpus_word_counts(docs: DataFrame, text_col: str = "text", max_vocab: int = 50000) -> DataFrame:
     """(word, cnt) vocabulary of the corpus, capped to the top
     ``max_vocab`` words by (count desc, word asc) — the training input.
-    One shuffle (word agg) + a rank cut; the cap is what makes the
-    downstream driver collect bounded by construction."""
-    from pyspark.sql.window import Window
-
+    One shuffle (word agg) + a TakeOrdered cut: orderBy+limit plans as
+    TakeOrderedAndProject — each partition keeps its own top-V and
+    only V-sized heads merge — so no single-partition sort ever sees
+    the uncapped distinct-word set (10⁸+ at web scale). The cap is
+    what makes the downstream driver collect bounded by construction."""
     words = docs.select(
         F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
     ).where(F.col("word") != "")
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), F.asc("word"))
-    # rank cut over a vocabulary-sized set (words, not corpus rows);
-    # at extreme vocab sizes swap for the q31 TakeOrdered shape
-    return (
-        counts.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= max_vocab)
-        .drop("rk")
-    )
+    return counts.orderBy(F.desc("cnt"), F.asc("word")).limit(max_vocab)
 
 
 def train_bpe_on_corpus(
