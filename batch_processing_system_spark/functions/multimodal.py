@@ -343,83 +343,67 @@ def _resize_nearest(rgb, width: int, height: int):
     return rgb[ys][:, xs]
 
 
-def decode_and_resize(binary_df: DataFrame, width: int, height: int) -> DataFrame:
+def _native_decode_rgb(data: bytes, pil_module=None):
+    """Decode ``data`` to an (h, w, 3) uint8 RGB numpy array through
+    Pillow (the native C fast path — ~100× the pure-Python decoders'
+    throughput on JPEG); returns None when Pillow is absent or cannot
+    read the bytes, so callers fall through to the pure lane. Decode
+    ONLY — resizing always goes through ``_resize_nearest`` so pixels
+    are lane-invariant for lossless formats (JPEG IDCTs may differ
+    within the spec's tolerance between implementations)."""
+    import io
+
+    import numpy as np
+
+    pil = pil_module if pil_module is not None else _PIL_Image
+    if pil is None:
+        return None
+    try:
+        img = pil.open(io.BytesIO(data)).convert("RGB")
+        return np.asarray(img, dtype=np.uint8).reshape(img.size[1], img.size[0], 3)
+    except Exception:
+        return None
+
+
+def decode_and_resize(
+    binary_df: DataFrame, width: int, height: int, lane: str = "auto"
+) -> DataFrame:
     """Pixel decode + resize → flattened RGB array column, schema
     (path string, pixels array<int>), row-major top-down RGB triplets.
 
-    Two execution paths, chosen per file inside the Arrow batch:
-    - Pillow, when importable (any format it reads);
-    - pure-stdlib+numpy decoders — always available — for uncompressed
-      24/32-bit BMP (BI_RGB), PNG at every legal depth (1/2/4/8/16-bit,
-      gray/RGB/palette/alpha, non-interlaced or Adam7), and
-      baseline + progressive JPEG (functions/jpeg.py Huffman+IDCT),
-      all with nearest-neighbor resize.
-    A file neither path can decode raises NotImplementedError naming
+    Two execution lanes, chosen per file inside the Arrow batch:
+    - ``native``: Pillow decode (any format it reads) — the C fast
+      path, ~100× pure-Python JPEG throughput, used when importable;
+    - ``pure``: stdlib+numpy decoders — always available — for
+      uncompressed 24/32-bit BMP (BI_RGB), PNG at every legal depth
+      (1/2/4/8/16-bit, gray/RGB/palette/alpha, non-interlaced or
+      Adam7), baseline + progressive JPEG (functions/jpeg.py
+      Huffman+IDCT), TIFF, PNM, footered TGA, ICO, QOI, PCX, Sun
+      raster, and XBM.
+    ``lane`` forces a route for cross-checking: 'auto' (native per
+    file when available, else pure), 'native' (Pillow required —
+    raises NotImplementedError naming it when absent), 'pure' (never
+    touches Pillow; the environment-independent digest lane).
+    Resize is ALWAYS the repo's deterministic nearest-neighbor
+    (_resize_nearest), so the two lanes are pixel-identical on
+    lossless formats — tests/test_multimodal_lanes.py pins that.
+    A file neither lane can decode raises NotImplementedError naming
     the missing dependency (surfaced through the task failure).
     """
+    if lane not in ("auto", "native", "pure"):
+        raise ValueError(f"decode_and_resize: unknown lane {lane!r}")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-
-        from .jpeg import decode_jpeg_rgb
-
+        if lane == "native" and _PIL_Image is None:
+            raise NotImplementedError(
+                "decode_and_resize(lane='native'): Pillow (PIL) is not "
+                "installed in this environment"
+            )
         for pdf in batches:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                if _PIL_Image is not None:  # pragma: no cover - lib absent here
-                    img = (
-                        _PIL_Image.open(io.BytesIO(content))
-                        .convert("RGB")
-                        .resize((width, height))
-                    )
-                    rows.append((path, [b for px in img.getdata() for b in px]))
-                    continue
                 data = bytes(content) if content is not None else b""
-                rgb = _decode_bmp_rgb(data)
-                if rgb is None:
-                    rgb = _decode_png_rgb(data)
-                if rgb is None:
-                    rgb = decode_jpeg_rgb(data)
-                if rgb is None:
-                    from .tiff import decode_tiff_rgb
-
-                    rgb = decode_tiff_rgb(data)
-                if rgb is None:
-                    from .pnm import decode_pnm_rgb
-
-                    rgb = decode_pnm_rgb(data)
-                if rgb is None:
-                    from .tga import decode_tga_rgb
-
-                    rgb = decode_tga_rgb(data, require_footer=True)
-                if rgb is None:
-                    from .ico import decode_ico_rgb
-
-                    rgb = decode_ico_rgb(data)
-                if rgb is None:
-                    from .qoi import decode_qoi_rgb
-
-                    rgb = decode_qoi_rgb(data)
-                if rgb is None:
-                    from .pcx import decode_pcx_rgb
-
-                    rgb = decode_pcx_rgb(data)
-                if rgb is None:
-                    from .sunras import decode_sunras_rgb
-
-                    rgb = decode_sunras_rgb(data)
-                if rgb is None:
-                    from .xbm import decode_xbm_rgb
-
-                    rgb = decode_xbm_rgb(data)
-                if rgb is None:
-                    raise NotImplementedError(
-                        f"decode_and_resize: {path!r} is not a BMP, PNG, "
-                        "Huffman JPEG, baseline TIFF, PNM, footered TGA, "
-                        "ICO, QOI, PCX, Sun raster, or XBM, and Pillow "
-                        "(PIL) is not installed; install Pillow for other "
-                        "formats"
-                    )
+                rgb = decode_rgb_any(data, lane=lane, path=path)
                 rows.append(
                     (path, [int(v) for v in _resize_nearest(rgb, width, height).ravel()])
                 )
@@ -428,6 +412,77 @@ def decode_and_resize(binary_df: DataFrame, width: int, height: int) -> DataFram
     return binary_df.select("path", "content").mapInPandas(
         decode, "path string, pixels array<int>"
     )
+
+
+def decode_rgb_any(
+    data: bytes, lane: str = "auto", path: str = "", pil_module=None
+):
+    """Per-file still-image decode with lane dispatch — the unit the
+    Arrow batches of decode_and_resize loop over, exposed so the lane
+    contract is testable driver-side (worker processes can't be
+    monkeypatched). Returns an (h, w, 3) uint8 RGB array or raises."""
+    from .jpeg import decode_jpeg_rgb
+
+    rgb = None
+    if lane != "pure":
+        rgb = _native_decode_rgb(data, pil_module=pil_module)
+        if rgb is None and lane == "native":
+            missing = (pil_module or _PIL_Image) is None
+            raise NotImplementedError(
+                "decode_rgb_any(lane='native'): Pillow (PIL) is not "
+                "installed in this environment"
+                if missing
+                else f"decode_rgb_any: Pillow cannot read {path!r} "
+                "and lane='native' forbids the pure fallback"
+            )
+    if rgb is not None:
+        return rgb
+    rgb = _decode_bmp_rgb(data)
+    if rgb is None:
+        rgb = _decode_png_rgb(data)
+    if rgb is None:
+        rgb = decode_jpeg_rgb(data)
+    if rgb is None:
+        from .tiff import decode_tiff_rgb
+
+        rgb = decode_tiff_rgb(data)
+    if rgb is None:
+        from .pnm import decode_pnm_rgb
+
+        rgb = decode_pnm_rgb(data)
+    if rgb is None:
+        from .tga import decode_tga_rgb
+
+        rgb = decode_tga_rgb(data, require_footer=True)
+    if rgb is None:
+        from .ico import decode_ico_rgb
+
+        rgb = decode_ico_rgb(data)
+    if rgb is None:
+        from .qoi import decode_qoi_rgb
+
+        rgb = decode_qoi_rgb(data)
+    if rgb is None:
+        from .pcx import decode_pcx_rgb
+
+        rgb = decode_pcx_rgb(data)
+    if rgb is None:
+        from .sunras import decode_sunras_rgb
+
+        rgb = decode_sunras_rgb(data)
+    if rgb is None:
+        from .xbm import decode_xbm_rgb
+
+        rgb = decode_xbm_rgb(data)
+    if rgb is None:
+        raise NotImplementedError(
+            f"decode_and_resize: {path!r} is not a BMP, PNG, "
+            "Huffman JPEG, baseline TIFF, PNM, footered TGA, "
+            "ICO, QOI, PCX, Sun raster, or XBM, and Pillow "
+            "(PIL) is not installed; install Pillow for other "
+            "formats"
+        )
+    return rgb
 
 
 # IMA/DVI ADPCM constants (public spec: IMA Digital Audio Focus and

@@ -25,10 +25,8 @@ from ..sources.jsonl import read_jsonl
 from .schemas import (
     EVENT_RESPONSE_ITEM,
     RESULT_LINE_SCHEMA,
-    STATUS_COMPLETED,
-    STATUS_FAILED,
-    STATUS_FIELD,
-    STATUS_IN_PROGRESS,
+    status_field,
+    status_values,
 )
 
 
@@ -84,9 +82,10 @@ def build_update_records(
             F.lit(now).cast("timestamp").alias("updated"),
         ),
     )
+    _, s_completed, s_failed = status_values()
     return df.select(
         "custom_id",
-        F.when(valid, F.lit(STATUS_COMPLETED)).otherwise(F.lit(STATUS_FAILED)).alias("new_status"),
+        F.when(valid, F.lit(s_completed)).otherwise(F.lit(s_failed)).alias("new_status"),
         new_item.alias("new_item"),
     )
 
@@ -118,12 +117,14 @@ def upsert_documents(docs: DataFrame, updates: DataFrame) -> DataFrame:
         F.col("new_status"),
         F.col("new_item"),
     )
+    sfield = status_field()
+    s_in_progress, _, _ = status_values()
     merged = docs.join(u, docs["_id"] == u.u_id, "left")
-    applies = F.col("new_status").isNotNull() & (F.col(STATUS_FIELD) == STATUS_IN_PROGRESS)
+    applies = F.col("new_status").isNotNull() & (F.col(sfield) == s_in_progress)
     empty = F.array().cast(f"array<{EVENT_RESPONSE_ITEM.simpleString()}>")
     return merged.select(
         "_id",
-        F.when(applies, F.col("new_status")).otherwise(F.col(STATUS_FIELD)).alias(STATUS_FIELD),
+        F.when(applies, F.col("new_status")).otherwise(F.col(sfield)).alias(sfield),
         F.when(
             applies & F.col("new_item").isNotNull(),
             F.concat(F.coalesce(F.col("event_response"), empty), F.array(F.col("new_item"))),

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .process import process_results
-from .schemas import STATUS_FAILED, STATUS_FIELD, STATUS_IN_PROGRESS
+from .schemas import status_field, status_values
 from .state import active_jobs, apply_poll_results, new_job_row
 from .validate import validate_submission
 
@@ -117,12 +117,14 @@ def submit_batch(
     # §3.1 step 6 — $set ai_status='in_progress' on each targeted doc
     # (/root/reference/README.md:77), as a semi-join-driven rebuild.
     targeted = result.valid_requests.select(F.col("custom_id").alias("t_id")).distinct()
+    sfield = status_field()
+    s_in_progress, _, _ = status_values()
     marked = (
         docs.join(targeted, docs["_id"] == F.col("t_id"), "left")
         .withColumn(
-            STATUS_FIELD,
-            F.when(F.col("t_id").isNotNull(), F.lit(STATUS_IN_PROGRESS)).otherwise(
-                F.col(STATUS_FIELD)
+            sfield,
+            F.when(F.col("t_id").isNotNull(), F.lit(s_in_progress)).otherwise(
+                F.col(sfield)
             ),
         )
         .drop("t_id")
@@ -184,15 +186,17 @@ def run_poll_cycle(
             .filter(F.col("t_id").isNotNull())
             .distinct()
         )
+        sfield = status_field()
+        s_in_progress, _, s_failed = status_values()
         docs = (
             docs.join(F.broadcast(targeted), docs["_id"] == F.col("t_id"), "left")
             .withColumn(
-                STATUS_FIELD,
+                sfield,
                 F.when(
                     F.col("t_id").isNotNull()
-                    & (F.col(STATUS_FIELD) == STATUS_IN_PROGRESS),
-                    F.lit(STATUS_FAILED),
-                ).otherwise(F.col(STATUS_FIELD)),
+                    & (F.col(sfield) == s_in_progress),
+                    F.lit(s_failed),
+                ).otherwise(F.col(sfield)),
             )
             .drop("t_id")
         )

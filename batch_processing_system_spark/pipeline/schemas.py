@@ -158,11 +158,56 @@ TRANSIENT_REMOTE = ("validating", "in_progress", "finalizing")
 # internal statuses excluded from the poll cycle (F3 selection)
 INACTIVE_INTERNAL = ("completed", "failed", "cancelled")
 
-# Target-document status contract (/root/reference/README.md:163-165:
+# Target-document status contract (/root/reference/README.md:147-148:
 # STATUS_FIELD_NAME and STATUS_VALUES are deployment-configurable).
-# Every pipeline module references these constants, so a deployment
-# renames the field or the values in exactly one place.
+# The constants below are the DEFAULTS; deployments override them via
+# the spec-named environment variables, read at call time by the
+# accessors — every pipeline module resolves the field/values through
+# these, so an override needs no code change anywhere:
+#   STATUS_FIELD_NAME=doc_state
+#   STATUS_VALUES='{"in_progress":"busy","completed":"ok","failed":"err"}'
 STATUS_FIELD = "ai_status"
 STATUS_IN_PROGRESS = "in_progress"
 STATUS_COMPLETED = "completed"
 STATUS_FAILED = "failed"
+
+
+def status_field() -> str:
+    """Deployment-configurable status field name (spec
+    README.md:147), env ``STATUS_FIELD_NAME``."""
+    import os
+
+    return os.environ.get("STATUS_FIELD_NAME", STATUS_FIELD)
+
+
+def status_values() -> tuple[str, str, str]:
+    """(in_progress, completed, failed) status values (spec
+    README.md:148), env ``STATUS_VALUES`` as a JSON object keyed by
+    the canonical names; absent keys keep their defaults."""
+    import json
+    import os
+
+    raw = os.environ.get("STATUS_VALUES")
+    if not raw:
+        return (STATUS_IN_PROGRESS, STATUS_COMPLETED, STATUS_FAILED)
+    d = json.loads(raw)
+    if not isinstance(d, dict):
+        raise ValueError("STATUS_VALUES must be a JSON object")
+    return (
+        d.get("in_progress", STATUS_IN_PROGRESS),
+        d.get("completed", STATUS_COMPLETED),
+        d.get("failed", STATUS_FAILED),
+    )
+
+
+def document_schema() -> T.StructType:
+    """DOCUMENT_SCHEMA with the deployment-configured status field
+    name substituted (identical to the constant under defaults)."""
+    return T.StructType(
+        [
+            T.StructField("_id", T.StringType()),
+            T.StructField(status_field(), T.StringType()),
+            T.StructField("event_response", T.ArrayType(EVENT_RESPONSE_ITEM)),
+            T.StructField("payload", T.StringType()),
+        ]
+    )

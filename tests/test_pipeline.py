@@ -272,3 +272,66 @@ class TestLatestState:
         latest = latest_state_per_job(log).collect()
         assert len(latest) == 1
         assert latest[0]["status"] == "processing"
+
+
+class TestStatusConfig:
+    """Spec README.md:147-148: STATUS_FIELD_NAME and STATUS_VALUES are
+    deployment-configurable. The accessors read the env at call time,
+    so an override flows through submit → poll → result upsert without
+    code changes — pinned end-to-end with a renamed field and a fully
+    renamed value set."""
+
+    ENV = {
+        "STATUS_FIELD_NAME": "doc_state",
+        "STATUS_VALUES": json.dumps(
+            {"in_progress": "busy", "completed": "ok", "failed": "err"}
+        ),
+    }
+
+    def test_override_flows_end_to_end(self, spark, tmp_path, monkeypatch):
+        from batch_processing_system_spark.pipeline.schemas import (
+            document_schema,
+            status_field,
+            status_values,
+        )
+
+        for k, v in self.ENV.items():
+            monkeypatch.setenv(k, v)
+        assert status_field() == "doc_state"
+        assert status_values() == ("busy", "ok", "err")
+        rows = [
+            (f"doc-{i:03d}", "pending", [], json.dumps({"n": i})) for i in range(5)
+        ]
+        docs = spark.createDataFrame(rows, document_schema())
+
+        ok = json.dumps({"sentiment": "positive", "score": 0.9})
+        out_path = _write_jsonl(tmp_path, "out.jsonl", [result_line(0, content=ok)])
+        err_path = _write_jsonl(tmp_path, "err.jsonl", [result_line(2, error="boom")])
+        remote = FakeRemote(
+            statuses={"batch-001": "completed"},
+            result_files_map={"batch-001": (out_path, err_path)},
+        )
+        path = _write_jsonl(tmp_path, "req.jsonl", [good_request(i) for i in range(3)])
+        out = submit_batch(spark, path, SCHEMA_JSON, docs, remote, "job-1", T0)
+        marks = {r["_id"]: r["doc_state"] for r in out.marked_docs.collect()}
+        assert marks["doc-000"] == "busy" and marks["doc-004"] == "pending"
+
+        _, docs3 = run_poll_cycle(spark, out.jobs, out.marked_docs, remote, T0)
+        state = {r["_id"]: r for r in docs3.collect()}
+        assert state["doc-000"]["doc_state"] == "ok"
+        assert state["doc-002"]["doc_state"] == "err"
+        # doc-001 was targeted but got no result line: still busy
+        assert state["doc-001"]["doc_state"] == "busy"
+        assert state["doc-004"]["doc_state"] == "pending"
+
+    def test_defaults_unchanged_without_env(self):
+        from batch_processing_system_spark.pipeline.schemas import (
+            DOCUMENT_SCHEMA,
+            document_schema,
+            status_field,
+            status_values,
+        )
+
+        assert status_field() == "ai_status"
+        assert status_values() == ("in_progress", "completed", "failed")
+        assert document_schema() == DOCUMENT_SCHEMA

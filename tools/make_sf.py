@@ -73,7 +73,14 @@ def _write(path: str, name: str, cols: dict, ts_cols=()) -> None:
         arrays.append(arr)
         fields.append(pa.field(k, arr.type))
     t = pa.Table.from_arrays(arrays, schema=pa.schema(fields))
-    pq.write_table(t, os.path.join(path, f"{name}.parquet"))
+    # 100k-row row groups: the unit Spark can split a scan on. The
+    # driver's files are single-row-group (fine at sf<=0.1 where one
+    # task covers the table), but measuring ENGINE scaling at sf1+
+    # through an unsplittable 1M-row row group would measure file
+    # layout, not the plan — a 100 TB deployment reads thousands of
+    # splittable files.
+    pq.write_table(t, os.path.join(path, f"{name}.parquet"),
+                   row_group_size=100_000)
     print(f"  {name}: {t.num_rows} rows")
 
 
