@@ -36,3 +36,38 @@ def register_tables(
         load_table(spark, sf_dir, t).createOrReplaceTempView(name)
         names.append(name)
     return names
+
+
+#: the relational tables whose columns all take ANALYZE column stats
+#: (documents/embeddings carry long text / array columns that column
+#: statistics don't cover)
+RELATIONAL_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events",
+)
+
+
+def register_analyzed_tables(
+    spark: SparkSession, sf_dir: str, prefix: str = "cbo_", tables=None
+) -> list[str]:
+    """Catalog-register the testdata tables (CREATE TABLE ... USING
+    parquet LOCATION) and ANALYZE them — table-level row counts/sizes
+    plus per-column NDV/min/max. Path-based parquet reads carry NO
+    statistics, which leaves the cost-based optimizer inert; this is
+    the one-time step that arms CBO's join reordering for the
+    multi-join silhouettes (q65/r35/r42 shapes). Idempotent
+    (DROP IF EXISTS first); returns the catalog table names."""
+    import os
+
+    names = []
+    for t in tables or RELATIONAL_TABLES:
+        name = f"{prefix}{t}"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(
+            f"CREATE TABLE {name} USING parquet "
+            f"LOCATION '{os.path.join(sf_dir, t + '.parquet')}'"
+        )
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")
+        names.append(name)
+    return names
