@@ -227,7 +227,21 @@ def stream_neardup_documents(
 ):
     """JSONL document stream → greedy near-dup dedup → append-only kept
     corpus + band store + decision log. File offsets live in the
-    checkpoint; the stores are the cross-restart dedup memory."""
+    checkpoint; the stores are the cross-restart dedup memory.
+
+    BATCH-SIZE CONTRACT (the sink's operating envelope): per
+    micro-batch the driver materializes (a) the batch's doc_id list,
+    (b) the within-batch candidate pair graph, and (c) the store-hit
+    pairs — all bounded by micro-batch size, with the pair graph
+    additionally hard-capped at _MAX_BATCH_PAIRS (2M; the batch FAILS
+    LOUDLY over budget rather than spilling the driver). Size
+    triggers accordingly: ≤ ~100k docs per micro-batch keeps (a)/(c)
+    in tens of MB, and a batch would need ~every doc pairing with
+    every other to trip (b)'s cap — if your ingest can contain such a
+    burst (e.g. a mirror dump), pre-shard it into smaller files or
+    use maxFilesPerTrigger; the greedy within-batch resolution is
+    sequential by design (first arrival wins) and is the documented
+    cost of the kept-only store contract."""
     incoming = spark.readStream.schema(INCOMING_DOC_SCHEMA).json(incoming_dir)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -47,6 +47,59 @@ def _snapshot(spark, root, version=None):
     }
 
 
+class TestBackendMatrix:
+    """The S5 upsert semantics parametrized over both store backends:
+    the engine-native commitstore (always available) and the Delta
+    MERGE INTO lane (pipeline/deltastore.py) wherever delta-spark is
+    importable. In this container delta-spark is NOT installed and
+    cannot be (no pip/network — recorded in deltastore's docstring and
+    STATUS.md), so that leg skips with the named reason; the matrix is
+    in place for an environment that ships the package."""
+
+    @pytest.fixture(params=["commitstore", "delta"])
+    def backend(self, request):
+        if request.param == "delta":
+            from batch_processing_system_spark.pipeline.deltastore import (
+                delta_available,
+            )
+
+            if not delta_available():
+                pytest.skip(
+                    "delta-spark not installed in this container "
+                    "(no pip/network); commitstore is system of record"
+                )
+        return request.param
+
+    def _roundtrip(self, spark, root, backend):
+        if backend == "commitstore":
+            init_store(_docs(spark), root, n_buckets=8)
+            upsert_store(spark, root, _updates(spark, [3, 7]))
+            return _snapshot(spark, root)
+        from batch_processing_system_spark.pipeline import deltastore as ds
+
+        ds.init_store(_docs(spark), root)
+        ds.upsert_store(spark, root, _updates(spark, [3, 7]))
+        return {
+            r["_id"]: (r["ai_status"], len(r["event_response"]))
+            for r in ds.read_store(spark, root).collect()
+        }
+
+    def test_upsert_semantics_match(self, spark, tmp_path, backend):
+        state = self._roundtrip(spark, str(tmp_path / "store"), backend)
+        assert len(state) == 50
+        assert state["doc-0003"] == ("completed", 1)
+        assert state["doc-0007"] == ("completed", 1)
+        assert state["doc-0000"] == ("in_progress", 0)
+
+    def test_delta_lane_raises_named_error_when_absent(self, spark, tmp_path):
+        from batch_processing_system_spark.pipeline import deltastore as ds
+
+        if ds.delta_available():  # pragma: no cover - not this container
+            pytest.skip("delta present: the matrix leg above covers it")
+        with pytest.raises(NotImplementedError, match="delta-spark"):
+            ds.init_store(_docs(spark), str(tmp_path / "d"))
+
+
 class TestCommitStoreBasics:
     def test_init_and_read_round_trip(self, spark, tmp_path):
         root = str(tmp_path / "store")
