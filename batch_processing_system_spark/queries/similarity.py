@@ -559,6 +559,102 @@ def _cosine_pairs_blocked(
     )
 
 
+def _cosine_pairs_ivf(
+    emb: DataFrame,
+    threshold: float,
+    k: int | None = None,
+    nprobe: int = 2,
+    sample_rows: int = 20_000,
+    seed: int = SEED,
+) -> DataFrame:
+    """Clustered-corpus candidate route for HIGH-threshold cosine
+    pairs: IVF coarse quantization (the q86 shape, extended from
+    query-time to pair generation). Centroids come from a bounded
+    driver-side k-means on a deterministic sample; every vector is
+    assigned to its ``nprobe`` nearest centroids (multi-probe covers
+    pairs straddling a cell boundary); candidates are within-cell
+    pairs, verified EXACT per cell with numpy BLAS and deduped.
+
+    Why not BRP-LSH: Spark's BucketedRandomProjectionLSH projects
+    64-dim unit vectors to N(0, 1/64) scalars (σ=0.125), so at ANY
+    usable bucketLength nearly all vectors share a handful of buckets
+    per table and OR-amplification across tables makes ~every pair a
+    candidate — measured no pruning at τ=0.45 AND none at τ=0.9. IVF
+    prunes by the corpus's own cluster structure instead, which is
+    exactly the regime where a high threshold is meaningful.
+
+    RECALL IS MEASURED, NOT GUARANTEED (same contract as the old LSH
+    lane): tests compare against the exact blocked grid on a
+    clustered corpus; a production corpus should re-probe recall.
+    Scale: centroids are k×d (driver + broadcast, bounded); the only
+    shuffle is groupBy(cell); per-cell memory ~ (n·nprobe/k)·d·8 —
+    pick k ≈ n/2000."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    # bounded-collect: deterministic sample for centroid training,
+    # capped at sample_rows regardless of corpus size
+    samp = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .orderBy(F.md5(F.concat(F.lit(seed), F.col("vec_id").cast("string"))))
+        .limit(sample_rows)
+        .collect()
+    )
+    mat = np.array([r["e"] for r in samp], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    n_s = len(mat)
+    kk = k or max(4, n_s // 200)
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(n_s, size=min(kk, n_s), replace=False)]
+    for _ in range(5):  # Lloyd on the sample, spherical update
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cent[c] = v / nv
+    b_cent = spark.sparkContext.broadcast(cent)
+
+    def assign_cells(batches):
+        c = b_cent.value
+        for pdf in batches:
+            m = np.stack(pdf["e"].map(np.asarray, na_action=None)).astype(np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ c.T
+            top = np.argsort(-sims, axis=1)[:, :nprobe]
+            rows = []
+            for i, vid in enumerate(pdf["vec_id"]):
+                for cell in top[i]:
+                    rows.append((int(vid), int(cell), list(m[i])))
+            yield pd.DataFrame(rows, columns=["vec_id", "cell", "u"])
+
+    cells = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).mapInPandas(assign_cells, "vec_id bigint, cell int, u array<double>")
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        m = np.stack(pdf["u"].map(np.asarray, na_action=None))
+        sims = m @ m.T
+        ii, jj = np.nonzero(sims >= threshold)
+        out = [
+            (int(ids[i]), int(ids[j]), round(float(sims[i, j]), 4))
+            for i, j in zip(ii, jj)
+            if ids[i] < ids[j]
+        ]
+        return pd.DataFrame(out, columns=["vec_id_a", "vec_id_b", "cos_sim"])
+
+    return (
+        cells.groupBy("cell")
+        .applyInPandas(cell_pairs, "vec_id_a bigint, vec_id_b bigint, cos_sim double")
+        # a pair can co-occur in up to nprobe² shared cells
+        .distinct()
+    )
+
+
 @register(
     "q54_cosine_neardup",
     COSINE_NEARDUP_SQL,

@@ -1,0 +1,78 @@
+"""IVF candidate route for high-threshold cosine pairs
+(_cosine_pairs_ivf) — the clustered-corpus scale path that replaced
+the BRP-LSH guidance (which measurably cannot prune 64-dim unit
+vectors at any threshold; see the function docstring).
+
+Pinned on a synthetic clustered corpus (clusters of 10 at cos ≈ 0.9,
+the make_sf --clustered-emb shape):
+
+- recall vs the exact blocked grid is MEASURED as 1.0 at nprobe=2
+  (the route's documented contract is measured-not-guaranteed);
+- pair values (rounded cosines) are identical to the exact route;
+- determinism: two runs produce the same relation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from batch_processing_system_spark.queries.similarity import (
+    _cosine_pairs_blocked,
+    _cosine_pairs_ivf,
+)
+
+N_CLUSTERS = 120
+PER_CLUSTER = 10
+DIM = 64
+TAU = 0.9
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((N_CLUSTERS, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    n = N_CLUSTERS * PER_CLUSTER
+    member_of = np.arange(n) % N_CLUSTERS
+    m = centers[member_of] + 0.042 * rng.standard_normal((n, DIM))
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    rows = [(int(i), [float(x) for x in m[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def _pairs(df):
+    return {(r["vec_id_a"], r["vec_id_b"], r["cos_sim"]) for r in df.collect()}
+
+
+class TestIvfPairs:
+    def test_recall_one_on_clustered_corpus(self, spark, clustered_emb):
+        n = clustered_emb.count()
+        exact = _pairs(_cosine_pairs_blocked(clustered_emb, TAU, n, DIM, 1 << 20))
+        # sanity: the corpus really is clustered — most within-cluster
+        # pairs clear the threshold
+        assert len(exact) > N_CLUSTERS * 10
+        # k sized to the corpus's cluster count (the knob a real
+        # deployment tunes from its own stats; the default heuristic
+        # targets n/2000-row cells, far coarser than this tiny fixture)
+        got = _pairs(_cosine_pairs_ivf(clustered_emb, TAU, k=60, nprobe=2))
+        assert got == exact  # recall 1.0 AND identical rounded values
+
+    def test_deterministic(self, spark, clustered_emb):
+        a = _pairs(_cosine_pairs_ivf(clustered_emb, TAU, k=60, nprobe=2))
+        b = _pairs(_cosine_pairs_ivf(clustered_emb, TAU, k=60, nprobe=2))
+        assert a == b
+
+    def test_prunes_against_random_noise(self, spark, clustered_emb):
+        # cells are sample-kmeans-sized: the candidate volume must be
+        # far below all-pairs — proxy: per-cell sizes bounded so the
+        # sum of C(size,2) over cells is a small fraction of C(n,2)
+        n = clustered_emb.count()
+        # reproduce the assignment volume through the public route by
+        # counting emitted verified pairs at an impossible threshold:
+        # every CANDIDATE with cos >= -1 is emitted, so this IS the
+        # candidate count (upper bound, before distinct collapses
+        # nprobe duplicates)
+        cand = _cosine_pairs_ivf(clustered_emb, -1.0, k=60, nprobe=2).count()
+        allpairs = n * (n - 1) // 2
+        assert cand < 0.2 * allpairs, (cand, allpairs)

@@ -84,7 +84,9 @@ def _write(path: str, name: str, cols: dict, ts_cols=()) -> None:
     print(f"  {name}: {t.num_rows} rows")
 
 
-def generate(sf: float, out: str, seed: int = 42) -> None:
+def generate(
+    sf: float, out: str, seed: int = 42, clustered_emb: bool = False
+) -> None:
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(seed)
     n_cust = int(150_000 * sf)
@@ -193,12 +195,26 @@ def generate(sf: float, out: str, seed: int = 42) -> None:
         "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
     })
 
-    emb = rng.standard_normal((n_emb, 64))
-    emb = (emb / np.linalg.norm(emb, axis=1, keepdims=True)).astype(np.float32)
+    if clustered_emb:
+        # near-dup cluster structure (what a REAL dedup corpus looks
+        # like): n/10 clusters of 10, members at cos ≈ 0.9 to their
+        # center — the regime where candidate-generation routes
+        # (IVF/_cosine_pairs_ivf) have something to prune on
+        n_clu = max(1, n_emb // 10)
+        centers = rng.standard_normal((n_clu, 64))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        member_of = np.arange(n_emb) % n_clu
+        emb = centers[member_of] + 0.042 * rng.standard_normal((n_emb, 64))
+        emb = (emb / np.linalg.norm(emb, axis=1, keepdims=True)).astype(np.float32)
+        labels = (member_of % 10).astype(np.int32)
+    else:
+        emb = rng.standard_normal((n_emb, 64))
+        emb = (emb / np.linalg.norm(emb, axis=1, keepdims=True)).astype(np.float32)
+        labels = rng.integers(0, 10, n_emb)
     _write(out, "embeddings", {
         "vec_id": np.arange(n_emb, dtype=np.int64),
         "embedding": pa.array(list(emb), pa.list_(pa.float32())),
-        "label": pa.array(rng.integers(0, 10, n_emb), pa.int32()),
+        "label": pa.array(labels, pa.int32()),
     })
 
 
@@ -207,6 +223,9 @@ if __name__ == "__main__":
     ap.add_argument("--sf", type=float, default=1.0)
     ap.add_argument("--out", default=None)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--clustered-emb", action="store_true",
+                    help="near-dup cluster structure in embeddings "
+                    "(clusters of 10 at cos ~0.9)")
     a = ap.parse_args()
     out = a.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -214,4 +233,4 @@ if __name__ == "__main__":
         f"sf{a.sf:g}",
     )
     print(f"generating sf={a.sf} -> {out}")
-    generate(a.sf, out, a.seed)
+    generate(a.sf, out, a.seed, clustered_emb=a.clustered_emb)
