@@ -19,17 +19,34 @@ real cluster — and keep it a power of two so
 co-locate tables written at different generations (8-bucket ⋈
 4-bucket joins by coalescing 2:1 instead of shuffling).
 
+Within-bucket sort propagation: Spark ≥3.0 stopped advertising the
+``sortBy`` order from bucketed scans unless BOTH hold —
+``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` AND every
+bucket is a single file (a multi-file bucket would need a merge, so
+Catalyst re-sorts and the sortBy is wasted). The helpers enforce both:
+the flag is set whenever a sorted table is registered, and the write
+pre-repartitions by the bucket column so each write task owns exactly
+one bucket. That alignment is exact because *Spark-native* bucketing
+(``bucketBy`` + ``saveAsTable``, no Hive) assigns bucket id with
+``pmod(murmur3(col), n)`` — the same HashPartitioning expression
+``repartition(n, col)`` uses — unlike Hive bucketed tables, which use
+HiveHash and would NOT line up. ``_assert_one_file_per_bucket``
+verifies the invariant on every fresh write.
+
 Provenance: EXT (scale posture; the reference spec at
 /root/reference/README.md has no storage-layout machinery). The
 bucketing metadata lives in the session catalog (in-memory catalog
-locally), so ``bucketed_table`` re-registers idempotently per
-session while the parquet files persist under spark-warehouse/.
+locally) while the parquet files persist under spark-warehouse/; a
+fresh session finds the files already on disk and re-registers them
+with ``CREATE TABLE ... CLUSTERED BY ... LOCATION`` instead of
+rewriting — registration costs a schema read, not a data pass.
 """
 
 from __future__ import annotations
 
 import hashlib
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -38,9 +55,56 @@ from .io import load_table
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _BUCKET_ROOT = os.path.join(_REPO, "spark-warehouse", "bucketed")
 
+_SORT_FLAG = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+
 
 def _sf_tag(sf_dir: str) -> str:
     return hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+
+
+def _spec_tag(bucket_col: str, sort_cols: tuple[str, ...]) -> str:
+    # the layout spec is part of the identity: a table re-requested
+    # with a different bucket column or sort order must NOT reuse the
+    # old files (ADVICE r7: the old key omitted these).
+    return hashlib.md5(("|".join((bucket_col,) + tuple(sort_cols))).encode()).hexdigest()[:6]
+
+
+def _assert_one_file_per_bucket(path: str, n_buckets: int) -> None:
+    """Spark bucket files are named part-<task>-<uuid>_<bucketid>.…;
+    sort propagation needs every bucket to be exactly one file."""
+    per_bucket: dict[str, int] = {}
+    for f in os.listdir(path):
+        m = re.match(r"part-\d+-.*_(\d{5})\.", f)
+        if m:
+            per_bucket[m.group(1)] = per_bucket.get(m.group(1), 0) + 1
+    multi = {b: c for b, c in per_bucket.items() if c > 1}
+    assert not multi, (
+        f"bucketed write at {path} produced multi-file buckets {multi}; "
+        "within-bucket sort order would not be propagated"
+    )
+    assert len(per_bucket) <= n_buckets
+
+
+def _register_existing(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_cols: tuple[str, ...],
+) -> None:
+    """Re-attach an on-disk bucketed directory to a fresh session's
+    catalog via DDL — schema read only, no data rewrite."""
+    schema = spark.read.parquet(path).schema
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    sorted_by = (
+        " SORTED BY (" + ", ".join(f"`{c}`" for c in sort_cols) + ")" if sort_cols else ""
+    )
+    spark.sql(
+        f"CREATE TABLE {name} ({cols}) USING PARQUET "
+        f"CLUSTERED BY (`{bucket_col}`){sorted_by} INTO {n_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
 
 
 def bucketed_table(
@@ -55,35 +119,51 @@ def bucketed_table(
     """(Re)write a testdata table as a bucketed (+ optionally
     sorted-within-bucket) catalog table; returns the table name.
 
-    Idempotent per (table, sf_dir, n_buckets): if the session catalog
-    already has the table, the existing registration is reused — the
-    write-once/join-forever amortization that is the point of
+    Idempotent per (table, sf_dir, n_buckets, bucket_col, sort_cols):
+    if the session catalog already has the table, the registration is
+    reused; if only the FILES exist (fresh session, files written by a
+    previous one), they are re-registered via DDL without a rewrite —
+    the write-once/join-forever amortization that is the point of
     bucketing. ``sort_cols`` additionally sorts rows inside each
     bucket file, which lets SortMergeJoin skip its per-task sort too
-    (write once, pre-sorted forever).
+    (write once, pre-sorted forever); see the module docstring for the
+    legacy-flag + one-file-per-bucket preconditions this enforces.
     """
-    name = f"bkt_{table}_{_sf_tag(sf_dir)}_{n_buckets}"
+    if sort_cols:
+        spark.conf.set(_SORT_FLAG, "true")
+    name = (
+        f"bkt_{table}_{_sf_tag(sf_dir)}_{n_buckets}_"
+        f"{_spec_tag(bucket_col, sort_cols)}"
+    )
+    path = os.path.join(_BUCKET_ROOT, name)
     if not force and spark.catalog.tableExists(name):
         return name
-    df = load_table(spark, sf_dir, table)
+    if not force and os.path.isdir(path) and os.path.exists(
+        os.path.join(path, "_SUCCESS")
+    ):
+        _register_existing(spark, name, path, bucket_col, n_buckets, sort_cols)
+        return name
+    # raw read: never recurse through io.load_table's bucketed routing
+    df = load_table(spark, sf_dir, table, raw=True)
     if sort_cols:
-        # one write task per bucket => exactly one file per bucket.
-        # Catalyst only trusts (and propagates) the within-bucket sort
-        # order when a bucket is a single file — with several files it
-        # would need a merge, so it re-sorts and the sortBy is wasted.
+        # one write task per bucket => exactly one file per bucket
+        # (repartition's pmod(murmur3(col), n) IS the native bucket-id
+        # expression, so task i holds exactly bucket i's rows).
         from pyspark.sql import functions as F
 
         df = df.repartition(n_buckets, F.col(bucket_col))
     writer = (
         df.write.format("parquet")
         .mode("overwrite")
-        .option("path", os.path.join(_BUCKET_ROOT, name))
+        .option("path", path)
         .bucketBy(n_buckets, bucket_col)
     )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     writer.saveAsTable(name)
+    if sort_cols:
+        _assert_one_file_per_bucket(path, n_buckets)
     return name
 
 
@@ -94,7 +174,7 @@ def bucketed_pair(
 ) -> tuple[DataFrame, DataFrame]:
     """The engine's canonical co-located fact pair: orders and
     lineitem bucketed by their join key (orderkey), sorted within
-    buckets, ready for a zero-Exchange SortMergeJoin."""
+    buckets, ready for a zero-Exchange, zero-Sort SortMergeJoin."""
     ob = bucketed_table(
         spark, sf_dir, "orders", "o_orderkey", n_buckets, sort_cols=("o_orderkey",)
     )

@@ -38,7 +38,7 @@ from pyspark.sql import SparkSession
 from .httpremote import HttpBatchRemote
 from .localremote import DirectoryRemote
 from .run import run_poll_cycle, submit_batch
-from .schemas import BATCH_JOB_SCHEMA, DOCUMENT_SCHEMA
+from .schemas import BATCH_JOB_SCHEMA, document_schema
 from .state import active_jobs
 from .statestore import read_state as _read_state
 from .statestore import rewrite_state as _rewrite_state
@@ -76,7 +76,7 @@ def cmd_submit(args: argparse.Namespace) -> int:
         schema_json = open(args.schema_file).read()
     else:
         schema_json = args.schema_json
-    docs = _read_state(spark, args.docs, DOCUMENT_SCHEMA)
+    docs = _read_state(spark, args.docs, document_schema())
     jobs = _read_state(spark, args.jobs, BATCH_JOB_SCHEMA)
     remote = _make_remote(args)
     job_id = args.job_id or f"job-{uuid.uuid4().hex[:12]}"
@@ -106,7 +106,7 @@ def cmd_submit(args: argparse.Namespace) -> int:
 
 def cmd_poll(args: argparse.Namespace) -> int:
     spark = _get_spark()
-    docs = _read_state(spark, args.docs, DOCUMENT_SCHEMA)
+    docs = _read_state(spark, args.docs, document_schema())
     jobs = _read_state(spark, args.jobs, BATCH_JOB_SCHEMA)
     remote = _make_remote(args)
     n_active_before = active_jobs(jobs).count()

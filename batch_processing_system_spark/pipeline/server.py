@@ -30,7 +30,7 @@ from pyspark.sql import SparkSession
 
 from .localremote import DirectoryRemote
 from .run import submit_batch
-from .schemas import BATCH_JOB_SCHEMA, DOCUMENT_SCHEMA
+from .schemas import BATCH_JOB_SCHEMA, document_schema
 from .statestore import read_state, rewrite_state
 
 REQUIRED_FIELDS = ("jsonl_file", "output_schema_json", "mongodb_uri", "collection_name")
@@ -125,7 +125,7 @@ class PipelineHandler(BaseHTTPRequestHandler):
             jsonl_path = tf.name
         try:
             with _STATE_LOCK:
-                docs = read_state(self.spark, self.docs_path, DOCUMENT_SCHEMA)
+                docs = read_state(self.spark, self.docs_path, document_schema())
                 jobs = read_state(self.spark, self.jobs_path, BATCH_JOB_SCHEMA)
                 out = submit_batch(
                     self.spark,

@@ -36,6 +36,17 @@ _ITERS = 5
 _TOPK = 25
 
 
+def _state_join_strategy(n_nodes: int, broadcast_budget_bytes: int):
+    """Size router for the per-superstep rank-state join: broadcast
+    while the node-sized state fits the budget (node string + 2
+    bigints ≈ 64 B/row conservatively), else shuffle-hash keyed on
+    src — a billion-node broadcast is a guaranteed driver/executor
+    OOM (VERDICT r7). Same shape as r52's frontier router."""
+    if n_nodes * 64 <= broadcast_budget_bytes:
+        return F.broadcast
+    return lambda df: df.hint("shuffle_hash")
+
+
 def _pagerank_sql() -> str:
     """Chained-CTE oracle: the K supersteps unrolled (standard SQL has
     no aggregate-in-recursive-CTE, so unrolling IS the portable form)."""
@@ -90,11 +101,16 @@ def _pagerank_sql() -> str:
     "mass. All-integer arithmetic makes the result hash-exact vs the "
     "unrolled-CTE oracle with no float-order caveats. At 100 TB: "
     "edges hash-partition on src once and stay put; each superstep "
-    "shuffles only the node-sized rank state (broadcastable when "
-    "nodes ≪ edges — the hint below does exactly that), and the "
-    "iteration count is fixed, not data-dependent.",
+    "shuffles only the node-sized rank state — broadcast ONLY when "
+    "the node count fits a size budget (billion-node state would OOM "
+    "the driver), else a shuffle-hash join keyed on src, the same "
+    "router r52 uses for its frontier.",
 )
-def r23_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def r23_pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    broadcast_budget_bytes: int = 64 << 20,
+) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     pairs = (
@@ -118,10 +134,11 @@ def r23_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_nodes = deg.count()  # driver-side scalar: node count, bounded
     base = _MASS // n_nodes
+    _hinted = _state_join_strategy(n_nodes, broadcast_budget_bytes)
     ranks = deg.select("node", "deg", F.lit(base).cast("bigint").alias("rank"))
     for _ in range(_ITERS):
         inc = (
-            edges.join(F.broadcast(ranks), edges.src == ranks.node)
+            edges.join(_hinted(ranks), edges.src == ranks.node)
             .select(F.col("dst").alias("node"), F.expr("rank div deg").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("inc"))

@@ -121,3 +121,54 @@ class TestBucketedCorrectness:
         )
         assert a == b
         assert spark.catalog.tableExists(a)
+
+    def test_layout_spec_is_part_of_identity(self, spark):
+        # re-requesting with a different bucket column or sort order
+        # must NOT silently reuse the old files (ADVICE r7)
+        a = bucketed_table(
+            spark, SF_SMALL, "orders", "o_orderkey", 8,
+            sort_cols=("o_orderkey",),
+        )
+        b = bucketed_table(spark, SF_SMALL, "orders", "o_orderkey", 8)
+        c = bucketed_table(spark, SF_SMALL, "orders", "o_custkey", 8)
+        assert len({a, b, c}) == 3
+
+    def test_fresh_session_reuses_files_without_rewrite(self, spark):
+        import os
+
+        from batch_processing_system_spark.engine.bucketing import _BUCKET_ROOT
+
+        name = bucketed_table(
+            spark, SF_SMALL, "orders", "o_orderkey", 8,
+            sort_cols=("o_orderkey",),
+        )
+        path = os.path.join(_BUCKET_ROOT, name)
+        before = {f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)}
+        # dropping the (external) table simulates a fresh session's
+        # empty in-memory catalog; the parquet files stay on disk
+        spark.sql(f"DROP TABLE {name}")
+        assert not spark.catalog.tableExists(name)
+        name2 = bucketed_table(
+            spark, SF_SMALL, "orders", "o_orderkey", 8,
+            sort_cols=("o_orderkey",),
+        )
+        assert name2 == name
+        assert spark.catalog.tableExists(name)
+        after = {f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)}
+        assert after == before  # re-registered, not rewritten
+        # and the DDL-registered table still plans shuffle- and
+        # sort-free (the catalog metadata round-trips the layout)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            lineitem = bucketed_pair(spark, SF_SMALL, n_buckets=8)[1]
+            plan = _plan(
+                spark.table(name).join(
+                    lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+                )
+            )
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            assert "Sort " not in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -140,7 +140,18 @@ def generate(
         "o_orderpriority": [PRIORITIES[i] for i in rng.integers(0, 5, n_ord)],
     }, ts_cols=("o_orderdate",))
 
-    # lineitem: Poisson(4) children per order, shipdate = orderdate + lag
+    # lineitem: Poisson(4) children per order. The shipdate base below
+    # is a FRESH date draw, NOT the o_orderdate array — deliberately.
+    # ADVICE r7 flagged this as a bug ("uncorrelated with
+    # o_orderdate"), but the driver's own corpus is measurably
+    # uncorrelated too: at sf0.01/sf0.1 the (l_shipdate -
+    # o_orderdate) lag spans -2383..+2496 DAYS with
+    # `l_shipdate > o_orderdate` selectivity 0.514/0.519 — an
+    # independent redraw plus a small positive lag, exactly what this
+    # reproduces (regen sf0.01 measures 0.51). Making the dates
+    # TPC-H-correlated (odate[l_ok] + lag) would flip every
+    # shipdate>orderdate consumer from ~51% to 100% selectivity and
+    # break runtime comparability against the driver's benches.
     counts = rng.poisson(4.0, n_ord)
     l_ok = np.repeat(np.arange(n_ord, dtype=np.int64), counts)
     n_li = len(l_ok)

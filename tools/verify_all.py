@@ -1,15 +1,16 @@
 """One-shot verification: every gate the driver and judge run, in one
 command, with one JSON summary line at the end.
 
-    python tools/verify_all.py            # oracle sf0.01 + audit + entry + bench
-    python tools/verify_all.py --fast     # oracle sf0.001, skip bench
+    python tools/verify_all.py            # entry + oracle sf0.01 + audit + pytest + bench
+    python tools/verify_all.py --fast     # oracle sf0.001, pytest, skip bench
 
 Surfaces (matches .claude/skills/verify/SKILL.md):
   1. driver entry contract on a VANILLA SparkSession (catches configs
      the engine factory wrongly assumes);
   2. full-catalog oracle check (Spark vs DuckDB hash comparison);
   3. plan audit (pruning/pushdown/broadcast/no-Python/codegen);
-  4. bench (one JSON line, sf0.1).
+  4. pytest suite (a snapshot must never ship red — VERDICT r8);
+  5. bench (one JSON line, sf0.1).
 
 Exit 0 only if every surface passes.
 """
@@ -53,23 +54,30 @@ def main() -> None:
     line = next((l for l in r.stdout.splitlines() if l.startswith("ENTRY_OK")), "")
     summary["entry"] = line or "FAILED"
     ok &= bool(line)
-    print(f"[1/4] entry contract: {line or 'FAILED'}")
+    print(f"[1/5] entry contract: {line or 'FAILED'}")
 
     r = run([sys.executable, "tools/check_oracle.py", "--sf", sf])
     tail = [l for l in r.stdout.splitlines() if l.strip()][-1:]
     summary["oracle"] = tail[0] if tail else "FAILED"
     ok &= r.returncode == 0
-    print(f"[2/4] oracle ({sf}): {summary['oracle']}")
+    print(f"[2/5] oracle ({sf}): {summary['oracle']}")
 
     r = run([sys.executable, "tools/explain_audit.py"])
     tail = [l for l in r.stdout.splitlines() if "plans audited" in l][-1:]
     summary["audit"] = tail[0] if tail else "FAILED"
     ok &= r.returncode == 0
-    print(f"[3/4] plan audit: {summary['audit']}")
+    print(f"[3/5] plan audit: {summary['audit']}")
+
+    r = run([sys.executable, "-m", "pytest", "tests/", "-q", "--tb=no"],
+            timeout=3600)
+    tail = [l for l in r.stdout.splitlines() if l.strip()][-1:]
+    summary["pytest"] = tail[0] if tail else "FAILED"
+    ok &= r.returncode == 0
+    print(f"[4/5] pytest: {summary['pytest']}")
 
     if args.fast:
         summary["bench"] = "skipped (--fast)"
-        print("[4/4] bench: skipped (--fast)")
+        print("[5/5] bench: skipped (--fast)")
     else:
         r = run([sys.executable, "bench.py"], timeout=900)
         try:
@@ -77,11 +85,11 @@ def main() -> None:
             summary["bench"] = {
                 "total_s": d["value"], "n_queries": len(d["queries"])
             }
-            print(f"[4/4] bench: {d['value']}s / {len(d['queries'])} queries")
+            print(f"[5/5] bench: {d['value']}s / {len(d['queries'])} queries")
         except Exception:
             summary["bench"] = "FAILED"
             ok = False
-            print("[4/4] bench: FAILED")
+            print("[5/5] bench: FAILED")
 
     summary["ok"] = ok
     print(json.dumps(summary))
