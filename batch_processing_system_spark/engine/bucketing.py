@@ -62,6 +62,27 @@ def _sf_tag(sf_dir: str) -> str:
     return hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
 
 
+def _src_fingerprint(sf_dir: str, table: str) -> str:
+    """mtime+size fingerprint of the SOURCE parquet, folded into the
+    bucketed table's identity (ADVICE r9): regenerating the testdata
+    in place (tools/make_sf.py writes to the same path) must never be
+    served from a stale bucketed copy across sessions — the path-only
+    tag could not see content changes. A changed source yields a new
+    table name, so the stale files are simply never routed to again."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    parts: list[str] = []
+    if os.path.isdir(path):  # partitioned/multi-file table root
+        for root, _, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    st = os.stat(os.path.join(root, f))
+                    parts.append(f"{f}:{st.st_mtime_ns}:{st.st_size}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        parts.append(f"{st.st_mtime_ns}:{st.st_size}")
+    return hashlib.md5(";".join(parts).encode()).hexdigest()[:8]
+
+
 def _spec_tag(bucket_col: str, sort_cols: tuple[str, ...]) -> str:
     # the layout spec is part of the identity: a table re-requested
     # with a different bucket column or sort order must NOT reuse the
@@ -78,11 +99,19 @@ def _assert_one_file_per_bucket(path: str, n_buckets: int) -> None:
         if m:
             per_bucket[m.group(1)] = per_bucket.get(m.group(1), 0) + 1
     multi = {b: c for b, c in per_bucket.items() if c > 1}
-    assert not multi, (
-        f"bucketed write at {path} produced multi-file buckets {multi}; "
-        "within-bucket sort order would not be propagated"
-    )
-    assert len(per_bucket) <= n_buckets
+    # Real exceptions, not `assert` (ADVICE r9): the invariant gates
+    # answer-ORDER correctness of the sortBy contract and must survive
+    # `python -O` (asserts are stripped under optimization).
+    if multi:
+        raise RuntimeError(
+            f"bucketed write at {path} produced multi-file buckets {multi}; "
+            "within-bucket sort order would not be propagated"
+        )
+    if len(per_bucket) > n_buckets:
+        raise RuntimeError(
+            f"bucketed write at {path} produced {len(per_bucket)} bucket ids "
+            f"for {n_buckets} buckets"
+        )
 
 
 def _register_existing(
@@ -133,7 +162,7 @@ def bucketed_table(
         spark.conf.set(_SORT_FLAG, "true")
     name = (
         f"bkt_{table}_{_sf_tag(sf_dir)}_{n_buckets}_"
-        f"{_spec_tag(bucket_col, sort_cols)}"
+        f"{_spec_tag(bucket_col, sort_cols)}_{_src_fingerprint(sf_dir, table)}"
     )
     path = os.path.join(_BUCKET_ROOT, name)
     if not force and spark.catalog.tableExists(name):

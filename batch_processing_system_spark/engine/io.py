@@ -42,6 +42,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BUCKET_SPECS: dict[str, tuple[str, int]] = {
     "events": ("user_id", 32),
     "documents": ("doc_id", 32),
+    # r10: the orders/lineitem pair — the catalog's biggest recurring
+    # shuffle (every TPC-H silhouette joins them on the order key).
+    # Both sides bucketed AND sorted by the same key at the same
+    # count, so the o_orderkey = l_orderkey SortMergeJoin runs with
+    # zero Exchange and zero Sort (tests/test_bucketed_routing.py
+    # pins the deltas on r34/r39/r65; tools/explain_audit.py asserts
+    # them every run). At 100 TB this converts the nightly fact⋈fact
+    # shuffle into a once-at-ingest cost.
+    "orders": ("o_orderkey", 32),
+    "lineitem": ("l_orderkey", 32),
 }
 
 
@@ -59,6 +69,14 @@ def load_table(
     into its own half-created table)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Defensive: hour()/date_trunc() outputs depend on the session
+    # timezone, and the DuckDB oracle treats timestamps as naive-UTC.
+    # Our own factory sets this, but the driver's session may not.
+    # Pinned BEFORE the bucketed-routing branch (ADVICE r9): the
+    # catalog-reuse path returns without ever reading the raw parquet,
+    # so a non-UTC session would otherwise see different date_trunc
+    # buckets on the routed path than on the plain one.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if not raw and name in BUCKET_SPECS and _bucketed_routing_on():
         from .bucketing import bucketed_table
 
@@ -68,10 +86,6 @@ def load_table(
                 spark, sf_dir, name, col, n_buckets, sort_cols=(col,)
             )
         )
-    # Defensive: hour()/date_trunc() outputs depend on the session
-    # timezone, and the DuckDB oracle treats timestamps as naive-UTC.
-    # Our own factory sets this, but the driver's session may not.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md), which Spark 4
         # rejects by default. Read nanos as BIGINT and truncate to µs —

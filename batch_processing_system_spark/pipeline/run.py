@@ -52,7 +52,7 @@ def with_retry(
     fn: Callable[[], Any],
     max_attempts: int = 3,
     base_delay: float = 1.0,
-    sleep: Callable[[float], None] = time.sleep,
+    sleep: Callable[[float], None] | None = None,
 ) -> Any:
     """T3: ≤3 attempts with exponential backoff 2^n
     (/root/reference/README.md:84,146,161). On persistent failure the
@@ -69,7 +69,10 @@ def with_retry(
                 _json_log(
                     "WARN", "retry", f"attempt {attempt + 1} failed: {exc}; retrying in {delay}s"
                 )
-                sleep(delay)
+                # resolved at CALL time, not captured as a default at
+                # import time (ADVICE r9): tests that monkeypatch
+                # run.time.sleep must actually suppress the backoff
+                (sleep if sleep is not None else time.sleep)(delay)
     raise last  # type: ignore[misc]
 
 

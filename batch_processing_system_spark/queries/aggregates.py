@@ -327,3 +327,56 @@ def q84_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(bcount("n_docs"), davg("n_chars", "avg_chars"))
+
+
+@register(
+    "r70_salted_hot_agg",
+    """
+    SELECT CASE WHEN user_id % 10 < 3 THEN 7 ELSE user_id END AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           MIN(event_id) AS min_event_id,
+           MAX(event_id) AS max_event_id
+    FROM events
+    GROUP BY 1
+    ORDER BY k
+    """,
+    doc="Skew-safe two-phase aggregation made catalog-visible (VERDICT "
+    "r9 item 7): a degenerate hot key is derived (30% of event mass "
+    "collapses onto one user key — the tests/test_ecdf_aqe_properties "
+    "skewed-twin shape), then aggregated through "
+    "engine.skew.salted_aggregate: phase 1 groups on (k, _salt) so "
+    "the hot key spreads over 16 reducers, phase 2 recombines the "
+    "algebraic partials. Result is BIT-IDENTICAL to the direct "
+    "groupBy for these integer-exact measures (count/sum/min/max of "
+    "BIGINT — no float reassociation), so this row is tier-1 "
+    "hash-checked against the plain SQL GROUP BY. The plan audit "
+    "asserts the first Exchange partitions by (k, _salt); SCALE.md "
+    "records the measured hot-key win. At 100 TB: one key holding "
+    "30% of the table would serialize one reducer for the whole "
+    "stage; salting bounds every reducer at ~1/16 of the hot mass.",
+)
+def r70_salted_hot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..engine.skew import salted_aggregate
+
+    events = load_table(spark, sf_dir, "events")
+    hot = events.withColumn(
+        "k",
+        F.when(F.col("user_id") % 10 < 3, F.lit(7).cast("bigint")).otherwise(
+            F.col("user_id")
+        ),
+    )
+    out = salted_aggregate(
+        hot,
+        ["k"],
+        {
+            "n_events": ("event_id", "count"),
+            "sum_event_id": ("event_id", "sum"),
+            "min_event_id": ("event_id", "min"),
+            "max_event_id": ("event_id", "max"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "k", "n_events", "sum_event_id", "min_event_id", "max_event_id"
+    ).orderBy("k")

@@ -13,6 +13,11 @@ import pytest
 
 from batch_processing_system_spark.queries.curation import q75_curation_pipeline
 from batch_processing_system_spark.queries.temporal import q96_retention
+from batch_processing_system_spark.queries.tpch import (
+    r34_priority_waiting,
+    r39_large_orders,
+    r65_ship_latency,
+)
 
 from .conftest import SF_SMALL
 
@@ -49,11 +54,49 @@ def _exchanges(df) -> int:
 
 
 class TestBucketedRouting:
-    @pytest.mark.parametrize("fn", [q96_retention, q75_curation_pipeline])
+    @pytest.mark.parametrize(
+        "fn",
+        [
+            q96_retention,
+            q75_curation_pipeline,
+            # r10: the orderkey-bucketed TPC-H family
+            r34_priority_waiting,
+            r39_large_orders,
+            r65_ship_latency,
+        ],
+    )
     def test_answers_identical_both_paths(self, spark, fn):
         assert _rows(_routed(fn, spark, True)) == _rows(
             _routed(fn, spark, False)
         )
+
+    @pytest.mark.parametrize(
+        "fn", [r34_priority_waiting, r39_large_orders, r65_ship_latency]
+    )
+    def test_tpch_orderkey_joins_lose_exchanges(self, no_broadcast, fn):
+        # orders/lineitem both bucketed+sorted by the order key: the
+        # fact⋈fact SortMergeJoin consumes the bucketed scans with no
+        # re-shuffle of either side
+        spark = no_broadcast
+        plain = _exchanges(_routed(fn, spark, False))
+        routed = _exchanges(_routed(fn, spark, True))
+        assert routed < plain, (fn.__name__, routed, plain)
+
+    def test_r65_join_needs_no_sort_either(self, no_broadcast):
+        # sortBy(orderkey) at write time: the SMJ's per-side Sort
+        # operators disappear along with the Exchanges
+        spark = no_broadcast
+
+        def sorts_feeding_join(df) -> int:
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return plan.count("Sort [o_orderkey") + plan.count(
+                "Sort [l_orderkey"
+            )
+
+        plain = _routed(r65_ship_latency, spark, False)
+        routed = _routed(r65_ship_latency, spark, True)
+        assert sorts_feeding_join(plain) >= 2
+        assert sorts_feeding_join(routed) == 0
 
     def test_q96_loses_exchanges(self, no_broadcast):
         spark = no_broadcast

@@ -124,6 +124,14 @@ def main() -> None:
         "Exchange" not in plans["q80_repetition"],
         "q80 shuffles despite being a per-row computation",
     )
+    # r70: the skew-safe aggregate's phase-1 Exchange must partition by
+    # (k, _salt) — the whole point is that the hot key spreads over the
+    # salt space instead of serializing one reducer
+    check(
+        re.search(r"hashpartitioning\(k#\d+L?, _salt", plans["r70_salted_hot_agg"])
+        is not None,
+        "r70 phase-1 Exchange does not partition by (k, _salt)",
+    )
 
     # tier-1 plans stay JVM-side and codegen'd. Exception: queries whose
     # DECLARED operator surface is a Python vehicle (mapInPandas etc.
@@ -209,6 +217,11 @@ def main() -> None:
         q75_curation_pipeline,
     )
     from batch_processing_system_spark.queries.temporal import q96_retention
+    from batch_processing_system_spark.queries.tpch import (
+        r34_priority_waiting,
+        r39_large_orders,
+        r65_ship_latency,
+    )
 
     def _executed(df) -> str:
         return df._jdf.queryExecution().executedPlan().toString()
@@ -219,7 +232,13 @@ def main() -> None:
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         for qname, fn in (("q96_retention", q96_retention),
-                          ("q75_curation_pipeline", q75_curation_pipeline)):
+                          ("q75_curation_pipeline", q75_curation_pipeline),
+                          # r10: the orderkey-bucketed TPC-H family —
+                          # orders⋈lineitem must lose its fact⋈fact
+                          # Exchanges on the routed path
+                          ("r34_priority_waiting", r34_priority_waiting),
+                          ("r39_large_orders", r39_large_orders),
+                          ("r65_ship_latency", r65_ship_latency)):
             routing[qname] = {}
             for label, flag in (("plain", "0"), ("routed", "1")):
                 os.environ["SPARK_GRAFT_BUCKETED"] = flag
@@ -241,6 +260,11 @@ def main() -> None:
         <= routing["q75_curation_pipeline"]["plain"],
         f"bucketed routing ADDED q75 Exchanges ({routing['q75_curation_pipeline']})",
     )
+    for q in ("r34_priority_waiting", "r39_large_orders", "r65_ship_latency"):
+        check(
+            routing[q]["routed"] < routing[q]["plain"],
+            f"orderkey bucketed routing removed no {q} Exchange ({routing[q]})",
+        )
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
@@ -264,27 +288,31 @@ def main() -> None:
         f.write(
             "\n## §Bucketed routing — load-bearing co-location "
             "(asserted each audit run)\n\nWith SPARK_GRAFT_BUCKETED "
-            "set, events/documents scans are served from bucketed "
-            "catalog tables (engine/io.py BUCKET_SPECS: events by "
-            "user_id, documents by doc_id, 32 buckets, sorted within "
-            "buckets). Exchange counts on the pre-execution physical "
-            "plan, autoBroadcastJoinThreshold=-1:\n\n"
-            f"| query | plain | routed |\n|---|---|---|\n"
-            f"| q96_retention | {routing['q96_retention']['plain']} | "
-            f"{routing['q96_retention']['routed']} |\n"
-            f"| q75_curation_pipeline | "
-            f"{routing['q75_curation_pipeline']['plain']} | "
-            f"{routing['q75_curation_pipeline']['routed']} |\n\n"
+            "set, events/documents/orders/lineitem scans are served "
+            "from bucketed catalog tables (engine/io.py BUCKET_SPECS: "
+            "events by user_id, documents by doc_id, orders by "
+            "o_orderkey, lineitem by l_orderkey — 32 buckets, sorted "
+            "within buckets). Exchange counts on the pre-execution "
+            "physical plan, autoBroadcastJoinThreshold=-1:\n\n"
+            "| query | plain | routed |\n|---|---|---|\n"
+            + "".join(
+                f"| {q} | {routing[q]['plain']} | {routing[q]['routed']} |\n"
+                for q in routing
+            )
+            + "\n"
             "q96 loses the user_id Exchanges feeding the cohort "
             "aggregation, the cohort join, and the distinct. q75's "
             "total is unchanged but the WIDE shuffle (the full "
             "text-derived corpus projection into the dedup anti-join) "
             "is replaced by a narrow doc_id-only re-partition — the "
-            "100 TB cost driver is gone; "
+            "100 TB cost driver is gone. r34/r39/r65 (the orderkey "
+            "TPC-H family, r10) drop the orders⋈lineitem fact⋈fact "
+            "Exchanges — and, because both sides are sortBy(orderkey) "
+            "at write, the SortMergeJoin's per-side Sorts too; "
             "tests/test_bucketed_routing.py pins that structurally "
             "plus hash-identical answers on both paths. The audit "
-            "FAILS if routing stops removing q96 Exchanges or starts "
-            "adding q75 Exchanges.\n"
+            "FAILS if routing stops removing q96/r34/r39/r65 "
+            "Exchanges or starts adding q75 Exchanges.\n"
         )
 
     for msg in failures:
