@@ -692,6 +692,71 @@ def r68_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id_a", "vec_id_b")
 
 
+def _clustered_twin(emb: DataFrame) -> DataFrame:
+    """Deterministically re-shape an embeddings table into the
+    ``tools/make_sf.py --clustered-emb`` corpus: n/10 near-dup clusters
+    of 10 members at cos ≈ 0.9 to their center. Every value is a pure
+    function of ``vec_id`` (per-row seeded Generators), so the twin is
+    identical under any partitioning, row order, or executor count —
+    the determinism rule every tier-2 rows-only check depends on."""
+    import numpy as np
+    import pandas as pd
+
+    n = emb.count()
+    n_clu = max(1, n // 10)
+
+    def derive(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            out = np.empty((len(ids), 64), dtype=np.float64)
+            for i, vid in enumerate(ids):
+                cid = int(vid) % n_clu
+                center = np.random.default_rng(1_000_003 + cid).standard_normal(64)
+                center /= np.linalg.norm(center)
+                noise = np.random.default_rng(2_000_003 + int(vid)).standard_normal(64)
+                out[i] = center + 0.042 * noise
+            out /= np.linalg.norm(out, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": list(out.astype(np.float32))}
+            )
+
+    return emb.select("vec_id").mapInPandas(
+        derive, "vec_id bigint, embedding array<float>"
+    )
+
+
+@register(
+    "r69_neardup_ivf_clustered",
+    None,  # tier-2 by design, same contract as r68: IVF recall is
+    # pytest-pinned against the exact blocked grid on THIS corpus shape
+    # (tests/test_ivf_pairs.py::TestClusteredTwinRoute), not
+    # SQL-expressible as an exact oracle.
+    doc="X3/X2 IVF cosine-pair generation benched in its DESIGN regime "
+    "(VERDICT r9 item 4): the driver's uniform-sphere embeddings are "
+    "IVF's worst case (nothing to prune, zero pairs at any high τ), "
+    "so r68's tracked number measures route overhead only. This row "
+    "derives a deterministic clustered twin of the same table "
+    "(n/10 clusters of 10 at cos ≈ 0.9 — the make_sf --clustered-emb "
+    "shape, i.e. what a REAL near-dup corpus looks like) and runs the "
+    "same _cosine_pairs_ivf route at τ=0.85 with k sized to ~5 "
+    "clusters per cell. The tracked number therefore exercises "
+    "centroid training, multi-probe assignment, per-cell exact "
+    "verification AND pruning on a corpus where pairs exist; recall "
+    "vs the exact blocked grid at this shape is pinned by pytest "
+    "(≥0.9 measured; emitted pairs are exact-verified so precision "
+    "is 1.0 by construction). At 100 TB: only shuffle is "
+    "groupBy(cell); per-cell memory ~ (n·nprobe/k)·d·8.",
+)
+def r69_neardup_ivf_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    twin = _clustered_twin(emb)
+    n = emb.count()
+    pairs = _cosine_pairs_ivf(twin, 0.85, k=max(16, n // 50), nprobe=2)
+    return pairs.select(
+        "vec_id_a", "vec_id_b", "cos_sim"
+    ).orderBy("vec_id_a", "vec_id_b")
+
+
 @register(
     "q54_cosine_neardup",
     COSINE_NEARDUP_SQL,

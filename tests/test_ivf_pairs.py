@@ -18,8 +18,10 @@ import numpy as np
 import pytest
 
 from batch_processing_system_spark.queries.similarity import (
+    _clustered_twin,
     _cosine_pairs_blocked,
     _cosine_pairs_ivf,
+    r69_neardup_ivf_clustered,
 )
 
 N_CLUSTERS = 120
@@ -76,3 +78,43 @@ class TestIvfPairs:
         cand = _cosine_pairs_ivf(clustered_emb, -1.0, k=60, nprobe=2).count()
         allpairs = n * (n - 1) // 2
         assert cand < 0.2 * allpairs, (cand, allpairs)
+
+
+class TestClusteredTwinRoute:
+    """r69_neardup_ivf_clustered — the bench row that exercises IVF in
+    its design regime (clustered corpus, high threshold, nonzero
+    pairs). Pins: the twin is deterministic and partition-invariant;
+    the route emits a NONZERO pair set; every emitted pair is in the
+    exact blocked grid (precision 1.0 — candidates are verified
+    exactly); recall vs that grid is >= 0.9 at the registered k
+    heuristic (~5 clusters per cell, coarser than the k-matched
+    fixture above — the production shape)."""
+
+    def test_twin_is_deterministic_and_partition_invariant(self, spark):
+        from batch_processing_system_spark.engine.io import load_table
+        from tests.conftest import SF_SMALL
+
+        emb = load_table(spark, SF_SMALL, "embeddings")
+        a = {
+            (r["vec_id"], tuple(r["embedding"]))
+            for r in _clustered_twin(emb).collect()
+        }
+        b = {
+            (r["vec_id"], tuple(r["embedding"]))
+            for r in _clustered_twin(emb.repartition(7)).collect()
+        }
+        assert a == b
+
+    def test_recall_and_precision_vs_exact_grid(self, spark):
+        from batch_processing_system_spark.engine.io import load_table
+        from tests.conftest import SF_SMALL
+
+        emb = load_table(spark, SF_SMALL, "embeddings")
+        twin = _clustered_twin(emb)
+        n = emb.count()
+        exact = _pairs(_cosine_pairs_blocked(twin, 0.85, n, DIM, 1 << 20))
+        got = _pairs(r69_neardup_ivf_clustered(spark, SF_SMALL))
+        assert len(exact) > 0 and len(got) > 0  # the regime has pairs
+        assert got <= exact  # precision 1.0: exact-verified candidates
+        recall = len(got) / len(exact)
+        assert recall >= 0.9, (len(got), len(exact), recall)
