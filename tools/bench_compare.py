@@ -35,8 +35,11 @@ def run_fresh() -> dict:
         text=True,
         timeout=600,
     )
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    # bench.py now ends with a compact summary line (no per-query map);
+    # take the last line that carries "queries"
+    full = [ln for ln in lines if '"queries"' in ln]
+    return json.loads((full or lines)[-1])
 
 
 def main() -> None:
