@@ -36,7 +36,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true",
                     help="oracle at sf0.001 and skip bench")
+    ap.add_argument("--routed", action="store_true",
+                    help="run the oracle leg with SPARK_GRAFT_BUCKETED=1: "
+                    "the FULL catalog must stay hash-identical on the "
+                    "bucketed-routing path (r10 routing contract, "
+                    "measured 168/168 at sf0.01)")
     args = ap.parse_args()
+    if args.routed:
+        os.environ["SPARK_GRAFT_BUCKETED"] = "1"
     sf = "/root/testdata/sf0.001" if args.fast else "/root/testdata/sf0.01"
     summary: dict = {}
     ok = True
