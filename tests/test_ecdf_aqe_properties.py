@@ -50,6 +50,9 @@ FAMILY = [
     "r49_sorted_neighborhood",
     "r53_negative_pairs",
     "r66_rfm",
+    # r10: the salted two-phase aggregation on the skewed twin — the
+    # hot (user_id, value) mass lands on the derived hot key path
+    "r70_salted_hot_agg",
 ]
 
 _TABLES = (
