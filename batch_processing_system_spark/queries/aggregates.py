@@ -333,7 +333,7 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     "r70_salted_hot_agg",
     """
     SELECT CASE WHEN user_id % 10 < 3 THEN 7 ELSE user_id END AS k,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(event_id) AS BIGINT) AS n_events,
            CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
            MIN(event_id) AS min_event_id,
            MAX(event_id) AS max_event_id

@@ -132,6 +132,9 @@ def main() -> None:
 
     skew_flag = "spark.sql.adaptive.skewJoin.enabled"
     old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # restore the PRIOR value, not a hardcoded 'true' (ADVICE r10) —
+    # mirrors the broadcast-threshold save/restore
+    old_skew = spark.conf.get(skew_flag)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         spark.conf.set(skew_flag, "false")
@@ -140,7 +143,7 @@ def main() -> None:
         spark.conf.set(skew_flag, "true")
         print(json.dumps({"row": "join_plain_aqeon", "sec": timed(plain)}))
     finally:
-        spark.conf.set(skew_flag, "true")
+        spark.conf.set(skew_flag, old_skew)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
 
     # join equality: salted == plain (inner) row multiset size + sum

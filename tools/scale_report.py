@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import sys
 
 LOCAL = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".localdata")
@@ -111,8 +112,22 @@ def load_min(sf_label: str) -> dict[str, float]:
     return mins
 
 
+def _sf_value(label: str) -> float:
+    """Numeric SF embedded in a run label (``sf0.1twin`` -> 0.1)."""
+    m = re.search(r"sf(\d+(?:\.\d+)?)", label)
+    if not m:
+        raise SystemExit(f"cannot parse an SF value out of label {label!r}")
+    return float(m.group(1))
+
+
+def _row(cells: list[str]) -> str:
+    return "| " + " | ".join(cells) + " |"
+
+
 def main() -> None:
     labels = sys.argv[1:] or ["sf0.1twin", "sf1", "sf3"]
+    if len(labels) < 2:
+        raise SystemExit("need at least two SF labels to compute a step")
     runs = {lb: load_min(lb) for lb in labels}
     names = sorted(set.intersection(*(set(r) for r in runs.values())))
     unmapped = [n for n in names if n not in FAMILIES]
@@ -123,47 +138,72 @@ def main() -> None:
     for n in names:
         fams.setdefault(FAMILIES.get(n, "UNMAPPED"), []).append(n)
 
-    print(f"| family | n | {' s | '.join(labels)} s | 0.1→1 ratio | exp | 1→3 ratio | exp | worst q (1→3) |")
-    print("|---" * (4 + 2 * 2) + "|---|")
+    # Steps and exponent bases are derived from the ACTUAL labels
+    # (ADVICE r10: the old header hardcoded the 10x/3x sweep and the
+    # separator row was one cell short, so the table didn't render).
+    sfs = [_sf_value(lb) for lb in labels]
+    steps = list(zip(labels[:-1], labels[1:]))
+    bases = [sfs[i + 1] / sfs[i] for i in range(len(labels) - 1)]
+
+    def ratios(sums: dict[str, float]) -> list[str]:
+        cells: list[str] = []
+        for (a, b), base in zip(steps, bases):
+            r = sums[b] / sums[a]
+            cells += [f"{r:.2f}×", f"{math.log10(r) / math.log10(base):.2f}"]
+        return cells
+
+    header = (
+        ["family", "n"]
+        + [f"{lb} s" for lb in labels]
+        + [c for a, b in steps for c in (f"{a}→{b} ratio", "exp")]
+        + [f"worst q ({steps[-1][0]}→{steps[-1][1]})"]
+    )
+    print(_row(header))
+    print("|---" * len(header) + "|")
     tot = {lb: 0.0 for lb in labels}
     for fam in sorted(fams):
         qs = fams[fam]
         sums = {lb: sum(runs[lb][q] for q in qs) for lb in labels}
         for lb in labels:
             tot[lb] += sums[lb]
-        r01 = sums[labels[1]] / sums[labels[0]]
-        r13 = sums[labels[2]] / sums[labels[1]]
-        e01 = math.log10(r01)  # 10x step
-        e13 = math.log10(r13) / math.log10(3)  # 3x step
+        penult, last = steps[-1]
         worst = max(
-            (q for q in qs if runs[labels[1]][q] >= 0.3),
-            key=lambda q: runs[labels[2]][q] / runs[labels[1]][q],
+            (q for q in qs if runs[penult][q] >= 0.3),
+            key=lambda q: runs[last][q] / runs[penult][q],
             default=None,
         )
         wtxt = (
-            f"{worst} ({runs[labels[2]][worst] / runs[labels[1]][worst]:.1f}×)"
+            f"{worst} ({runs[last][worst] / runs[penult][worst]:.1f}×)"
             if worst
             else "—"
         )
         print(
-            f"| {fam} | {len(qs)} | "
-            + " | ".join(f"{sums[lb]:.1f}" for lb in labels)
-            + f" | {r01:.2f}× | {e01:.2f} | {r13:.2f}× | {e13:.2f} | {wtxt} |"
+            _row(
+                [fam, str(len(qs))]
+                + [f"{sums[lb]:.1f}" for lb in labels]
+                + ratios(sums)
+                + [wtxt]
+            )
         )
-    r01 = tot[labels[1]] / tot[labels[0]]
-    r13 = tot[labels[2]] / tot[labels[1]]
     print(
-        f"| **total** | {len(names)} | "
-        + " | ".join(f"{tot[lb]:.1f}" for lb in labels)
-        + f" | {r01:.2f}× | {math.log10(r01):.2f} | {r13:.2f}× | "
-        f"{math.log10(r13) / math.log10(3):.2f} | |"
+        _row(
+            ["**total**", str(len(names))]
+            + [f"{tot[lb]:.1f}" for lb in labels]
+            + ratios(tot)
+            + [""]
+        )
     )
-    # queries at/above linear on the 1->3 step with non-noise absolutes
-    print("\nsf1→sf3 queries at/above exponent 1.0 (sf1 ≥ 0.5s):")
+    # queries at/above linear on the LAST step with non-noise absolutes
+    penult, last = steps[-1]
+    base = bases[-1]
+    print(f"\n{penult}→{last} queries at/above exponent 1.0 ({penult} ≥ 0.5s):")
     for q in names:
-        a, b = runs[labels[1]][q], runs[labels[2]][q]
-        if a >= 0.5 and b / a >= 3.0:
-            print(f"  {q}: {a:.2f}s → {b:.2f}s ({b / a:.1f}×, exp {math.log10(b / a) / math.log10(3):.2f})")
+        a, b = runs[penult][q], runs[last][q]
+        if a >= 0.5 and b / a >= base:
+            print(
+                f"  {q}: {a:.2f}s → {b:.2f}s ({b / a:.1f}×, "
+                f"exp {math.log10(b / a) / math.log10(base):.2f})"
+            )
 
 
 if __name__ == "__main__":
