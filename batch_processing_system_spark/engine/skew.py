@@ -24,6 +24,19 @@ from pyspark.sql import functions as F
 SALT_COL = "_salt"
 
 
+def salt_expr(n_salts: int) -> Column:
+    """Salt = pmod(xxhash64(row id), n): hashing the id (VERDICT r10)
+    spreads rows uniformly over the salt space even when the input is
+    a single partition — raw ``id % n`` concentrates salts 0..k on
+    small partitions because monotonically_increasing_id is
+    partition-prefixed (id = partition_id << 33 | row_in_partition,
+    so a short partition only ever emits the first few residues).
+    The salt only has to be uniform-ish, never stable across runs:
+    it is dropped after phase 1 and the phase-2 recombine is
+    order-insensitive for the algebraic functions this module admits."""
+    return F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: Sequence[str],
@@ -43,7 +56,7 @@ def salted_aggregate(
         if fn not in supported:
             raise ValueError(f"{out}: {fn!r} is not algebraic-decomposable here")
 
-    salted = df.withColumn(SALT_COL, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)))
+    salted = df.withColumn(SALT_COL, salt_expr(n_salts))
     phase1 = salted.groupBy(*keys, SALT_COL).agg(
         *[
             getattr(F, fn)(col).alias(out)
