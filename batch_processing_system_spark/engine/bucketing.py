@@ -47,6 +47,7 @@ from __future__ import annotations
 import hashlib
 import os
 import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -172,6 +173,19 @@ def bucketed_table(
     ):
         _register_existing(spark, name, path, bucket_col, n_buckets, sort_cols)
         return name
+    # About to write a fresh generation: prune stale siblings of the
+    # SAME (table, sf_dir, buckets, spec) whose source fingerprint
+    # differs (ADVICE r10) — each in-place source regeneration mints a
+    # new fingerprint-named table and would otherwise orphan the old
+    # full copy under spark-warehouse/bucketed forever. Only exact
+    # same-spec siblings are touched: a different bucket count or sort
+    # order is a deliberate second layout, not a stale generation.
+    prefix = name.rsplit("_", 1)[0] + "_"
+    if os.path.isdir(_BUCKET_ROOT):
+        for d in os.listdir(_BUCKET_ROOT):
+            if d.startswith(prefix) and d != name:
+                spark.sql(f"DROP TABLE IF EXISTS {d}")
+                shutil.rmtree(os.path.join(_BUCKET_ROOT, d), ignore_errors=True)
     # raw read: never recurse through io.load_table's bucketed routing
     df = load_table(spark, sf_dir, table, raw=True)
     if sort_cols:
