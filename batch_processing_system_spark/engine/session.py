@@ -15,6 +15,31 @@ import os
 from pyspark.sql import SparkSession
 
 
+def default_driver_memory(master: str) -> str:
+    """Resolve the local-JVM heap for a ``local[N]`` master.
+
+    $SPARK_DRIVER_MEMORY wins when set. Otherwise the heap scales with
+    the executor-thread count — ``max(8, N // 2)`` GiB — because in
+    local mode all N "executors" share the single driver JVM: 32
+    threads each holding a shuffle/agg partition of a sf≥3 run
+    overflowed the stock 8 GiB heap once mid-catalog (SCALE.md
+    round-10), while the same catalog at 16 GiB is comfortable. On a
+    real cluster ``master`` comes from spark-submit and executor
+    memory is sized there; this guard is local-mode-only.
+    """
+    env = os.environ.get("SPARK_DRIVER_MEMORY")
+    if env:
+        return env
+    n = os.cpu_count() or 8
+    if master.startswith("local["):
+        inner = master[len("local["):].rstrip("]")
+        if inner.isdigit():
+            n = int(inner)
+    elif not master.startswith("local"):
+        return "8g"  # non-local master: driver does no executor work
+    return f"{max(8, n // 2)}g"
+
+
 def get_spark(
     app_name: str = "batch-processing-system-spark",
     master: str | None = None,
@@ -65,7 +90,7 @@ def get_spark(
         .config("spark.sql.statistics.histogram.enabled", "true")
         # Keep the UI off in tests/bench; one less port to fight over.
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", default_driver_memory(master))
     )
     if extra_conf:
         for k, v in extra_conf.items():
