@@ -182,6 +182,30 @@ class TestSalting:
         with pytest.raises(ValueError, match="avg"):
             salted_aggregate(df, ["k"], {"a": ("v", "avg")})
 
+    def test_r71_plan_is_hot_broadcast_plus_cold_smj(self, spark):
+        # the catalog consumer of salted_broadcast_left (r71): with
+        # broadcast demotion forced off, the hot slice must still
+        # broadcast (the hint survives threshold -1), the cold
+        # remainder shuffle-joins, and the branches union
+        from batch_processing_system_spark.queries.aggregates import (
+            r71_salted_hot_join,
+        )
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            plan = (
+                r71_salted_hot_join(spark, SF_SMALL)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Union" in plan
+
     def test_salted_broadcast_join_equals_direct(self, spark):
         left = spark.createDataFrame(
             [(i % 5, i) for i in range(1000)], "k bigint, payload bigint"

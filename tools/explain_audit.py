@@ -132,6 +132,34 @@ def main() -> None:
         is not None,
         "r70 phase-1 Exchange does not partition by (k, _salt)",
     )
+    # r71: the skew-safe join's structural shape, asserted with
+    # broadcast demotion forced off so it can't be threshold luck —
+    # hot slice broadcast (the F.broadcast hint survives -1), cold
+    # remainder SortMergeJoin, branches unioned
+    from batch_processing_system_spark.queries.aggregates import (
+        r71_salted_hot_join,
+    )
+
+    old_bcast_r71 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        r71_plan = (
+            r71_salted_hot_join(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast_r71)
+    check(
+        "BroadcastHashJoin" in r71_plan,
+        "r71 hot slice is not broadcast under threshold -1",
+    )
+    check(
+        "SortMergeJoin" in r71_plan or "ShuffledHashJoin" in r71_plan,
+        "r71 cold remainder is not a shuffle join",
+    )
+    check("Union" in r71_plan, "r71 hot/cold branches are not unioned")
 
     # tier-1 plans stay JVM-side and codegen'd. Exception: queries whose
     # DECLARED operator surface is a Python vehicle (mapInPandas etc.
