@@ -52,11 +52,32 @@ BUCKET_SPECS: dict[str, tuple[str, int]] = {
     # shuffle into a once-at-ingest cost.
     "orders": ("o_orderkey", 32),
     "lineitem": ("l_orderkey", 32),
+    # r11: the customer⋈orders family (q07/q09/q10/q11, q64-q66, r36,
+    # r40) shuffled customer on c_custkey every run; bucketing removes
+    # exactly that Exchange in all nine (measured at sf0.01, broadcast
+    # off — the orders side still shuffles on o_custkey, which its own
+    # o_orderkey bucketing can't serve). At 100 TB customer is a
+    # billion-row dimension, not a broadcastable one.
+    "customer": ("c_custkey", 32),
 }
 
 
 def _bucketed_routing_on() -> bool:
     return os.environ.get("SPARK_GRAFT_BUCKETED", "").lower() not in (
+        "", "0", "false",
+    )
+
+
+def _partitioned_routing_on() -> bool:
+    """Opt-in date-partitioned routing (round 11): with
+    SPARK_GRAFT_PARTITIONED truthy, events scans are served from the
+    date-partitioned catalog twin (engine/partitioning.py) — identical
+    schema and rows, but time-windowed predicates and date-keyed joins
+    prune whole day directories (r72/r73 assert the plans). When BOTH
+    layout flags are set, bucketing wins for events: the two flags
+    demonstrate different storage levers over the same table, and the
+    plan-audit assertions for the bucketed path must stay stable."""
+    return os.environ.get("SPARK_GRAFT_PARTITIONED", "").lower() not in (
         "", "0", "false",
     )
 
@@ -86,6 +107,13 @@ def load_table(
                 spark, sf_dir, name, col, n_buckets, sort_cols=(col,)
             )
         )
+    if not raw and name == "events" and _partitioned_routing_on():
+        from .partitioning import PARTITION_COL, partitioned_events
+
+        # drop(PARTITION_COL) restores the exact raw schema (partition
+        # columns are appended last at write time); ts in the twin is
+        # already the loader-normalized true-UTC TIMESTAMP
+        return spark.table(partitioned_events(spark, sf_dir)).drop(PARTITION_COL)
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md), which Spark 4
         # rejects by default. Read nanos as BIGINT and truncate to µs —

@@ -1,0 +1,108 @@
+"""Date-partitioned table layout — the classic 100 TB storage lever
+(SURVEY §4.2: "our job: partition big tables by date/key at write
+time"; VERDICT r10 item 2).
+
+Bucketing (engine/bucketing.py) eliminates the *shuffle* for key-keyed
+joins; date partitioning eliminates the *scan* for time-windowed
+queries: ``partitionBy("event_date")`` writes one directory per day
+and records the scheme in the catalog, so
+
+- a literal date predicate prunes statically — the scan's
+  ``PartitionFilters`` drop every out-of-window directory before a
+  single byte is read (r72 asserts this in the plan audit), and
+- a JOIN against a filtered dimension prunes *dynamically* — Catalyst
+  plants a ``dynamicpruningexpression`` subquery in the fact scan that
+  is evaluated from the dim side's broadcast at runtime (r73; Spark's
+  DPP, ``spark.sql.optimizer.dynamicPartitionPruning`` on by default).
+
+At 100 TB with a year of history, a 3-day window or a
+filtered-calendar join reads ~1% of the table instead of all of it —
+storage-layout leverage that neither AQE nor pushdown can recover if
+the data was written unpartitioned. Partition count discipline: one
+directory per DAY (30 here; ~365/year) keeps metadata tiny — never
+partition by a high-cardinality key (that's what bucketing is for).
+
+Same write-once contract as bucketing: the table name carries an
+mtime+size fingerprint of the source parquet, a fresh session
+re-registers existing files via DDL + ``MSCK REPAIR`` (schema read,
+no data pass), and stale same-spec generations are GC'd on rewrite.
+
+Provenance: EXT (scale posture; the reference spec at
+/root/reference/README.md has no storage-layout machinery).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .bucketing import _sf_tag, _src_fingerprint
+from .io import load_table
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_PART_ROOT = os.path.join(_REPO, "spark-warehouse", "partitioned")
+
+PARTITION_COL = "event_date"
+
+
+def partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """(Re)write events as a catalog table partitioned by
+    ``event_date = to_date(ts)``; returns the table name.
+
+    Write-once per (sf_dir, source fingerprint): an existing catalog
+    registration is reused; existing files from a previous session are
+    re-attached via DDL + MSCK REPAIR without a rewrite. The stored
+    ``ts`` is the loader-normalized true-UTC TIMESTAMP, so consumers
+    of the twin skip the raw-parquet flavor fix-ups entirely.
+    """
+    name = f"pby_events_{_sf_tag(sf_dir)}_{_src_fingerprint(sf_dir, 'events')}"
+    path = os.path.join(_PART_ROOT, name)
+    if spark.catalog.tableExists(name):
+        return name
+    if os.path.isdir(path) and os.path.exists(os.path.join(path, "_SUCCESS")):
+        _register_existing(spark, name, path)
+        return name
+    # fresh write: GC stale generations of the same (table, sf_dir)
+    prefix = name.rsplit("_", 1)[0] + "_"
+    if os.path.isdir(_PART_ROOT):
+        for d in os.listdir(_PART_ROOT):
+            if d.startswith(prefix) and d != name:
+                spark.sql(f"DROP TABLE IF EXISTS {d}")
+                shutil.rmtree(os.path.join(_PART_ROOT, d), ignore_errors=True)
+    df = load_table(spark, sf_dir, "events", raw=True).withColumn(
+        PARTITION_COL, F.to_date(F.col("ts"))
+    )
+    # one write task per day => one file per partition directory (the
+    # 100 TB discipline: files sized by partition, not by whatever
+    # parallelism the upstream stage happened to have)
+    df = df.repartition(F.col(PARTITION_COL))
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .option("path", path)
+        .partitionBy(PARTITION_COL)
+        .saveAsTable(name)
+    )
+    return name
+
+
+def _register_existing(spark: SparkSession, name: str, path: str) -> None:
+    """Attach an on-disk partitioned directory to a fresh session's
+    catalog — schema read + partition discovery, no data rewrite."""
+    schema = spark.read.parquet(path).schema
+    data_cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in schema.fields
+        if f.name != PARTITION_COL
+    )
+    spark.sql(
+        f"CREATE TABLE {name} ({data_cols}, `{PARTITION_COL}` date) "
+        f"USING PARQUET PARTITIONED BY (`{PARTITION_COL}`) "
+        f"LOCATION '{path}'"
+    )
+    # discover the day directories into the catalog's partition metadata
+    spark.sql(f"MSCK REPAIR TABLE {name}")

@@ -80,6 +80,111 @@ def r67_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "r72_date_partition_prune",
+    """
+    SELECT CAST(ts AS DATE) AS event_date,
+           CAST(COUNT(event_id) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Static partition pruning over the date-partitioned events twin "
+    "(engine/partitioning.py; VERDICT r10 item 2 — SURVEY §4.2's "
+    "'partition big tables by date at write time'). events is written "
+    "ONCE partitioned by event_date = to_date(ts), one directory per "
+    "day; the literal 3-day window then prunes at the CATALOG level — "
+    "the scan's PartitionFilters drop 27 of 30 day directories before "
+    "reading a byte (plan audit asserts the PartitionFilters and "
+    "PLANS.md records the 3-of-30 inputFiles delta). The oracle runs "
+    "the identical filter on the unpartitioned raw parquet: "
+    "partitioning is pure layout, so answers are hash-identical — the "
+    "correctness claim for the layout lane, same contract as r67. At "
+    "100 TB with a year of history a 3-day dashboard window reads "
+    "~1% of the table; without the layout it scans everything, and "
+    "no optimizer can recover that after the write.",
+)
+def r72_date_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..engine.partitioning import partitioned_events
+
+    t = spark.table(partitioned_events(spark, sf_dir))
+    return (
+        t.filter(
+            F.col("event_date").between(
+                F.lit("2024-01-10").cast("date"), F.lit("2024-01-12").cast("date")
+            )
+        )
+        .groupBy("event_date")
+        .agg(
+            F.count("event_id").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_date")
+    )
+
+
+@register(
+    "r73_dpp_join",
+    """
+    WITH days AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d
+        FROM events
+        WHERE event_type = 'error' AND DAY(CAST(ts AS DATE)) <= 4
+    )
+    SELECT CAST(e.ts AS DATE) AS event_date,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_value
+    FROM events e JOIN days ON CAST(e.ts AS DATE) = days.d
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="DYNAMIC partition pruning over the date-partitioned events "
+    "twin — the lever static pruning can't reach: the qualifying days "
+    "are not a literal but the output of a filtered dimension "
+    "derivation (here: days 1-4 that saw an error event), so the "
+    "prune must happen at RUNTIME. Catalyst plants a "
+    "dynamicpruningexpression subquery in the fact scan's "
+    "PartitionFilters, evaluated from the dim side's broadcast "
+    "(reuseBroadcastOnly, no extra job), and the fact side reads only "
+    "the 4 qualifying day directories of 30 (plan audit asserts the "
+    "dynamicpruningexpression; answers hash-identical to the oracle's "
+    "unpartitioned self-join by construction). At 100 TB this is the "
+    "fact⋈calendar-dim silhouette — 'revenue on promo days' — where "
+    "the promo-day list lives in a table, not the query text; DPP is "
+    "what keeps it from a full fact scan.",
+)
+def r73_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..engine.partitioning import partitioned_events
+
+    t = spark.table(partitioned_events(spark, sf_dir))
+    days = (
+        t.filter(
+            (F.col("event_type") == "error") & (F.dayofmonth("event_date") <= 4)
+        )
+        .select(F.col("event_date").alias("d"))
+        .distinct()
+    )
+    return (
+        t.join(days, t.event_date == days.d)
+        .groupBy("event_date")
+        .agg(
+            F.count("event_id").cast("bigint").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_date")
+    )
+
+
+@register(
     "r25_zorder",
     f"""
     SELECT l_orderkey,

@@ -12,9 +12,11 @@ import os
 import pytest
 
 from batch_processing_system_spark.queries.curation import q75_curation_pipeline
+from batch_processing_system_spark.queries.relational import q07, q09
 from batch_processing_system_spark.queries.temporal import q96_retention
 from batch_processing_system_spark.queries.tpch import (
     r34_priority_waiting,
+    r36_custdist,
     r39_large_orders,
     r65_ship_latency,
 )
@@ -63,12 +65,27 @@ class TestBucketedRouting:
             r34_priority_waiting,
             r39_large_orders,
             r65_ship_latency,
+            # r11: the custkey-bucketed customer family
+            q07,
+            q09,
+            r36_custdist,
         ],
     )
     def test_answers_identical_both_paths(self, spark, fn):
         assert _rows(_routed(fn, spark, True)) == _rows(
             _routed(fn, spark, False)
         )
+
+    @pytest.mark.parametrize("fn", [q07, q09, r36_custdist])
+    def test_customer_side_loses_exchange(self, no_broadcast, fn):
+        # customer bucketed by c_custkey (r11): the customer-side
+        # Exchange of the customer⋈orders joins disappears (the orders
+        # side still shuffles on o_custkey — its own bucketing is on
+        # o_orderkey)
+        spark = no_broadcast
+        plain = _exchanges(_routed(fn, spark, False))
+        routed = _exchanges(_routed(fn, spark, True))
+        assert routed < plain, (fn.__name__, routed, plain)
 
     @pytest.mark.parametrize(
         "fn", [r34_priority_waiting, r39_large_orders, r65_ship_latency]

@@ -161,6 +161,39 @@ def main() -> None:
     )
     check("Union" in r71_plan, "r71 hot/cold branches are not unioned")
 
+    # r72/r73: the date-partitioned events twin must actually prune.
+    # r72: the literal 3-day window prunes STATICALLY — the scan's
+    # PartitionFilters carry the event_date bounds and inputFiles
+    # shrinks to the qualifying day directories.
+    check(
+        re.search(
+            r"PartitionFilters: \[[^\]]*event_date[^\]]*2024-01-10",
+            plans["r72_date_partition_prune"],
+        )
+        is not None,
+        "r72 scan has no event_date PartitionFilters (static prune lost)",
+    )
+    # r73: the filtered-dim join prunes DYNAMICALLY — Catalyst plants a
+    # dynamicpruningexpression subquery in the fact scan
+    check(
+        "dynamicpruning" in plans["r73_dpp_join"],
+        "r73 fact scan has no dynamicpruningexpression (DPP lost)",
+    )
+    # record the scan-size delta for PLANS.md §Partitioned
+    from batch_processing_system_spark.engine.partitioning import (
+        partitioned_events,
+    )
+    from batch_processing_system_spark.queries.layout import (
+        r72_date_partition_prune,
+    )
+
+    part_total = len(spark.table(partitioned_events(spark, SF_DIR)).inputFiles())
+    part_read = len(r72_date_partition_prune(spark, SF_DIR).inputFiles())
+    check(
+        part_read < part_total,
+        f"r72 static prune read {part_read} of {part_total} files — no delta",
+    )
+
     # tier-1 plans stay JVM-side and codegen'd. Exception: queries whose
     # DECLARED operator surface is a Python vehicle (mapInPandas etc.
     # don't print as EvalPython, but a registered @udtf prints as
@@ -244,9 +277,11 @@ def main() -> None:
     from batch_processing_system_spark.queries.curation import (
         q75_curation_pipeline,
     )
+    from batch_processing_system_spark.queries.relational import q07
     from batch_processing_system_spark.queries.temporal import q96_retention
     from batch_processing_system_spark.queries.tpch import (
         r34_priority_waiting,
+        r36_custdist,
         r39_large_orders,
         r65_ship_latency,
     )
@@ -266,7 +301,10 @@ def main() -> None:
                           # Exchanges on the routed path
                           ("r34_priority_waiting", r34_priority_waiting),
                           ("r39_large_orders", r39_large_orders),
-                          ("r65_ship_latency", r65_ship_latency)):
+                          ("r65_ship_latency", r65_ship_latency),
+                          # r11: the custkey-bucketed customer family
+                          ("q07", q07),
+                          ("r36_custdist", r36_custdist)):
             routing[qname] = {}
             for label, flag in (("plain", "0"), ("routed", "1")):
                 os.environ["SPARK_GRAFT_BUCKETED"] = flag
@@ -293,6 +331,11 @@ def main() -> None:
             routing[q]["routed"] < routing[q]["plain"],
             f"orderkey bucketed routing removed no {q} Exchange ({routing[q]})",
         )
+    for q in ("q07", "r36_custdist"):
+        check(
+            routing[q]["routed"] < routing[q]["plain"],
+            f"custkey bucketed routing removed no {q} Exchange ({routing[q]})",
+        )
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
@@ -316,12 +359,13 @@ def main() -> None:
         f.write(
             "\n## §Bucketed routing — load-bearing co-location "
             "(asserted each audit run)\n\nWith SPARK_GRAFT_BUCKETED "
-            "set, events/documents/orders/lineitem scans are served "
-            "from bucketed catalog tables (engine/io.py BUCKET_SPECS: "
-            "events by user_id, documents by doc_id, orders by "
-            "o_orderkey, lineitem by l_orderkey — 32 buckets, sorted "
-            "within buckets). Exchange counts on the pre-execution "
-            "physical plan, autoBroadcastJoinThreshold=-1:\n\n"
+            "set, events/documents/orders/lineitem/customer scans are "
+            "served from bucketed catalog tables (engine/io.py "
+            "BUCKET_SPECS: events by user_id, documents by doc_id, "
+            "orders by o_orderkey, lineitem by l_orderkey, customer "
+            "by c_custkey — 32 buckets, sorted within buckets). "
+            "Exchange counts on the pre-execution physical plan, "
+            "autoBroadcastJoinThreshold=-1:\n\n"
             "| query | plain | routed |\n|---|---|---|\n"
             + "".join(
                 f"| {q} | {routing[q]['plain']} | {routing[q]['routed']} |\n"
@@ -338,9 +382,34 @@ def main() -> None:
             "Exchanges — and, because both sides are sortBy(orderkey) "
             "at write, the SortMergeJoin's per-side Sorts too; "
             "tests/test_bucketed_routing.py pins that structurally "
-            "plus hash-identical answers on both paths. The audit "
-            "FAILS if routing stops removing q96/r34/r39/r65 "
-            "Exchanges or starts adding q75 Exchanges.\n"
+            "plus hash-identical answers on both paths. q07/r36 (the "
+            "custkey customer family, r11) drop the customer-side "
+            "Exchange of the customer⋈orders join — the orders side "
+            "still shuffles on o_custkey, which its o_orderkey "
+            "bucketing cannot serve. The audit FAILS if routing stops "
+            "removing q96/r34/r39/r65/q07/r36 Exchanges or starts "
+            "adding q75 Exchanges.\n"
+        )
+        f.write(
+            "\n## §Partitioned — date-partitioned events twin "
+            "(asserted each audit run)\n\nevents written once "
+            "partitioned by event_date = to_date(ts) "
+            "(engine/partitioning.py), one directory per day; "
+            "SPARK_GRAFT_PARTITIONED routes general events scans "
+            "through the twin with identical schema/rows "
+            "(tests/test_round11_fixes.py pins hash-identical "
+            "answers).\n\n"
+            f"- **r72 static prune**: the literal 3-day window reads "
+            f"**{part_read} of {part_total}** partition files — the "
+            "scan's PartitionFilters carry the event_date bounds "
+            "(asserted; see the r72 plan above).\n"
+            "- **r73 dynamic prune (DPP)**: the filtered-dim join "
+            "plants a dynamicpruningexpression subquery in the fact "
+            "scan's PartitionFilters, evaluated from the dim "
+            "broadcast at runtime (asserted; see the r73 plan "
+            "above).\n\nThe audit FAILS if r72 loses its "
+            "PartitionFilters or file delta, or r73 loses its "
+            "dynamicpruningexpression.\n"
         )
 
     for msg in failures:
