@@ -706,13 +706,24 @@ def _clustered_twin(emb: DataFrame) -> DataFrame:
     n_clu = max(1, n // 10)
 
     def derive(batches):
+        # centers are shared by all ~10 members of a cluster: derive
+        # each UNIQUE center once per batch (VERDICT r10 nit — the
+        # per-row loop built two Generators per row; values unchanged,
+        # the per-vid noise Generator is the per-row determinism
+        # anchor and stays)
+        centers: dict[int, "np.ndarray"] = {}
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy(np.int64)
             out = np.empty((len(ids), 64), dtype=np.float64)
             for i, vid in enumerate(ids):
                 cid = int(vid) % n_clu
-                center = np.random.default_rng(1_000_003 + cid).standard_normal(64)
-                center /= np.linalg.norm(center)
+                center = centers.get(cid)
+                if center is None:
+                    center = np.random.default_rng(
+                        1_000_003 + cid
+                    ).standard_normal(64)
+                    center /= np.linalg.norm(center)
+                    centers[cid] = center
                 noise = np.random.default_rng(2_000_003 + int(vid)).standard_normal(64)
                 out[i] = center + 0.042 * noise
             out /= np.linalg.norm(out, axis=1, keepdims=True)
