@@ -90,7 +90,9 @@ def partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     return name
 
 
-def _register_existing(spark: SparkSession, name: str, path: str) -> None:
+def _register_existing(
+    spark: SparkSession, name: str, path: str, bucket_clause: str = ""
+) -> None:
     """Attach an on-disk partitioned directory to a fresh session's
     catalog — schema read + partition discovery, no data rewrite."""
     schema = spark.read.parquet(path).schema
@@ -102,7 +104,60 @@ def _register_existing(spark: SparkSession, name: str, path: str) -> None:
     spark.sql(
         f"CREATE TABLE {name} ({data_cols}, `{PARTITION_COL}` date) "
         f"USING PARQUET PARTITIONED BY (`{PARTITION_COL}`) "
-        f"LOCATION '{path}'"
+        f"{bucket_clause} LOCATION '{path}'"
     )
     # discover the day directories into the catalog's partition metadata
     spark.sql(f"MSCK REPAIR TABLE {name}")
+
+
+def hybrid_events(spark: SparkSession, sf_dir: str, n_buckets: int = 8) -> str:
+    """The composed 100 TB layout: events partitioned by day AND
+    bucketed by user_id within each day —
+    ``partitionBy("event_date").bucketBy(n, "user_id")``. A
+    date-windowed, user-keyed aggregation then gets BOTH levers from
+    one table: the window prunes whole day directories
+    (PartitionFilters) and the per-user aggregation consumes the
+    bucket hash distribution with ZERO Exchange (bucket i's files
+    across all retained days feed task i). This is the layout a real
+    events hypertable ships with — time-partitioned for retention and
+    scan locality, entity-bucketed for shuffle-free rollups; r74
+    asserts both properties on one plan. No ``sortBy``: buckets span
+    one file per day directory, so within-bucket sort order could not
+    be advertised anyway (see engine/bucketing.py docstring).
+
+    Same write-once / fingerprint / re-register / GC contract as
+    ``partitioned_events``.
+    """
+    name = (
+        f"hyb_events_{_sf_tag(sf_dir)}_{n_buckets}_"
+        f"{_src_fingerprint(sf_dir, 'events')}"
+    )
+    path = os.path.join(_PART_ROOT, name)
+    bucket_clause = f"CLUSTERED BY (`user_id`) INTO {n_buckets} BUCKETS"
+    if spark.catalog.tableExists(name):
+        return name
+    if os.path.isdir(path) and os.path.exists(os.path.join(path, "_SUCCESS")):
+        _register_existing(spark, name, path, bucket_clause)
+        return name
+    prefix = name.rsplit("_", 1)[0] + "_"
+    if os.path.isdir(_PART_ROOT):
+        for d in os.listdir(_PART_ROOT):
+            if d.startswith(prefix) and d != name:
+                spark.sql(f"DROP TABLE IF EXISTS {d}")
+                shutil.rmtree(os.path.join(_PART_ROOT, d), ignore_errors=True)
+    df = load_table(spark, sf_dir, "events", raw=True).withColumn(
+        PARTITION_COL, F.to_date(F.col("ts"))
+    )
+    # pre-repartition on the bucket column: each write task owns one
+    # bucket id, emitting exactly one file per (day, bucket)
+    df = df.repartition(n_buckets, F.col("user_id"))
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .option("path", path)
+        .partitionBy(PARTITION_COL)
+        .bucketBy(n_buckets, "user_id")
+        .saveAsTable(name)
+    )
+    return name

@@ -185,6 +185,54 @@ def r73_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "r74_hybrid_layout",
+    """
+    SELECT user_id,
+           CAST(COUNT(event_id) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="The COMPOSED storage layout — events partitioned by day AND "
+    "bucketed by user_id within each day (engine/partitioning.py:"
+    "hybrid_events) — serving a date-windowed per-user rollup with "
+    "both levers on ONE plan: the 3-day window prunes 27 of 30 day "
+    "directories at the catalog level (PartitionFilters), and the "
+    "per-user aggregation consumes the bucket hash distribution with "
+    "ZERO hash Exchange (bucket i's one-file-per-day pieces across "
+    "the retained days all feed task i; the only Exchange left is "
+    "the final ORDER BY's range partition). Plan audit asserts both "
+    "properties. This is the canonical events-hypertable layout at "
+    "100 TB — time-partitioned for retention + scan locality, "
+    "entity-bucketed for shuffle-free rollups — and the answer is "
+    "hash-identical to the same SQL on the unpartitioned raw parquet "
+    "(layout is pure physics, never semantics).",
+)
+def r74_hybrid_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..engine.partitioning import hybrid_events
+
+    t = spark.table(hybrid_events(spark, sf_dir))
+    return (
+        t.filter(
+            F.col("event_date").between(
+                F.lit("2024-01-10").cast("date"), F.lit("2024-01-12").cast("date")
+            )
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("event_id").cast("bigint").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "r25_zorder",
     f"""
     SELECT l_orderkey,

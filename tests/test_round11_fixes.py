@@ -166,6 +166,17 @@ class TestPartitionedRouting:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "dynamicpruning" in plan
 
+    def test_r74_hybrid_layout_prunes_and_never_reshuffles(self, spark):
+        # the composed layout: date window in PartitionFilters AND the
+        # per-user agg fed by the bucket distribution (no hash Exchange;
+        # the ORDER BY's range partition is the only Exchange left)
+        from batch_processing_system_spark.queries.layout import r74_hybrid_layout
+
+        df = r74_hybrid_layout(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "2024-01-10" in plan
+        assert "Exchange hashpartitioning" not in plan
+
     def test_bucketed_flag_wins_for_events(self, spark):
         # both layout flags set: events must come from the BUCKETED twin
         # so the bucketed plan-audit assertions stay stable

@@ -179,6 +179,23 @@ def main() -> None:
         "dynamicpruning" in plans["r73_dpp_join"],
         "r73 fact scan has no dynamicpruningexpression (DPP lost)",
     )
+    # r74: the COMPOSED layout (partitioned by day + bucketed by
+    # user_id) must show BOTH levers on one plan — the date window in
+    # PartitionFilters AND no hash Exchange feeding the per-user
+    # aggregation (the only Exchange left is the ORDER BY's range
+    # partition)
+    check(
+        re.search(
+            r"PartitionFilters: \[[^\]]*event_date[^\]]*2024-01-10",
+            plans["r74_hybrid_layout"],
+        )
+        is not None,
+        "r74 scan has no event_date PartitionFilters (hybrid prune lost)",
+    )
+    check(
+        "Exchange hashpartitioning" not in plans["r74_hybrid_layout"],
+        "r74 per-user aggregation re-shuffles despite the bucket layout",
+    )
     # record the scan-size delta for PLANS.md §Partitioned
     from batch_processing_system_spark.engine.partitioning import (
         partitioned_events,

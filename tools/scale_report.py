@@ -88,7 +88,7 @@ _fam(
     "r19_interval_merge r22_jaro_match r24_ewma r25_zorder r26_skyline "
     "r27_proration r28_histogram r29_ri_audit r49_sorted_neighborhood "
     "r50_rolling_actives r55_cohort_ltv r56_rolling_actives_hll r66_rfm "
-    "r72_date_partition_prune r73_dpp_join",
+    "r72_date_partition_prune r73_dpp_join r74_hybrid_layout",
     "Wrangling / profiling / sampling",
 )
 
