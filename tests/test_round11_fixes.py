@@ -196,3 +196,36 @@ class TestPartitionedRouting:
                     os.environ.pop(k, None)
                 else:
                     os.environ[k] = v
+
+    def test_reregistration_reuses_files_without_rewrite(self, spark):
+        # fresh-session contract: dropping the catalog entry (files are
+        # EXTERNAL and survive) and re-requesting the twin must take
+        # the DDL + MSCK path — same rows, zero file rewrites
+        from batch_processing_system_spark.engine.partitioning import (
+            _PART_ROOT,
+            hybrid_events,
+            partitioned_events,
+        )
+
+        for builder in (partitioned_events, hybrid_events):
+            name = builder(spark, SF_SMALL)
+            path = os.path.join(_PART_ROOT, name)
+            n_before = spark.table(name).count()
+
+            def snapshot():
+                out = {}
+                for root, _, files in os.walk(path):
+                    for fn in files:
+                        p = os.path.join(root, fn)
+                        out[p] = os.stat(p).st_mtime_ns
+                return out
+
+            files_before = snapshot()
+            spark.sql(f"DROP TABLE {name}")
+            assert not spark.catalog.tableExists(name)
+            name2 = builder(spark, SF_SMALL)
+            assert name2 == name
+            assert spark.table(name).count() == n_before
+            assert snapshot() == files_before, (
+                f"{builder.__name__} re-registration rewrote files"
+            )
