@@ -89,6 +89,27 @@ def main() -> None:
                 per_query.setdefault(name, -1.0)
                 print(f"bench: pass {_pass} {name} failed: {exc}", file=sys.stderr)
         pass_totals.append(round(pass_total, 3))
+        # Timeout robustness: a harness that kills this process between
+        # passes must still find a parseable compact line at the stdout
+        # tail (min-so-far over the completed passes), so emit one per
+        # pass; the final full payload below supersedes it.
+        print(
+            json.dumps(
+                {
+                    "metric": "catalog_wall_clock",
+                    "value": round(
+                        sum(v for v in per_query.values() if v >= 0), 3
+                    ),
+                    "unit": "sec",
+                    "n": len(per_query),
+                    "failed": sum(1 for v in per_query.values() if v < 0),
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "passes_done": _pass + 1,
+                    "of_passes": n_repeat,
+                }
+            ),
+            flush=True,
+        )
 
     total = round(sum(v for v in per_query.values() if v >= 0), 3)
     routed = _bucketed_routing_on()
