@@ -48,6 +48,18 @@ _PART_ROOT = os.path.join(_REPO, "spark-warehouse", "partitioned")
 PARTITION_COL = "event_date"
 
 
+def _gc_stale_generations(spark: SparkSession, keep_name: str) -> None:
+    """Before a fresh write, drop same-spec siblings whose source
+    fingerprint differs (the trailing name segment) — an in-place
+    testdata regeneration must not orphan the previous full copy."""
+    prefix = keep_name.rsplit("_", 1)[0] + "_"
+    if os.path.isdir(_PART_ROOT):
+        for d in os.listdir(_PART_ROOT):
+            if d.startswith(prefix) and d != keep_name:
+                spark.sql(f"DROP TABLE IF EXISTS {d}")
+                shutil.rmtree(os.path.join(_PART_ROOT, d), ignore_errors=True)
+
+
 def partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     """(Re)write events as a catalog table partitioned by
     ``event_date = to_date(ts)``; returns the table name.
@@ -65,13 +77,7 @@ def partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     if os.path.isdir(path) and os.path.exists(os.path.join(path, "_SUCCESS")):
         _register_existing(spark, name, path)
         return name
-    # fresh write: GC stale generations of the same (table, sf_dir)
-    prefix = name.rsplit("_", 1)[0] + "_"
-    if os.path.isdir(_PART_ROOT):
-        for d in os.listdir(_PART_ROOT):
-            if d.startswith(prefix) and d != name:
-                spark.sql(f"DROP TABLE IF EXISTS {d}")
-                shutil.rmtree(os.path.join(_PART_ROOT, d), ignore_errors=True)
+    _gc_stale_generations(spark, name)
     df = load_table(spark, sf_dir, "events", raw=True).withColumn(
         PARTITION_COL, F.to_date(F.col("ts"))
     )
@@ -139,12 +145,7 @@ def hybrid_events(spark: SparkSession, sf_dir: str, n_buckets: int = 8) -> str:
     if os.path.isdir(path) and os.path.exists(os.path.join(path, "_SUCCESS")):
         _register_existing(spark, name, path, bucket_clause)
         return name
-    prefix = name.rsplit("_", 1)[0] + "_"
-    if os.path.isdir(_PART_ROOT):
-        for d in os.listdir(_PART_ROOT):
-            if d.startswith(prefix) and d != name:
-                spark.sql(f"DROP TABLE IF EXISTS {d}")
-                shutil.rmtree(os.path.join(_PART_ROOT, d), ignore_errors=True)
+    _gc_stale_generations(spark, name)
     df = load_table(spark, sf_dir, "events", raw=True).withColumn(
         PARTITION_COL, F.to_date(F.col("ts"))
     )

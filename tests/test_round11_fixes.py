@@ -229,3 +229,29 @@ class TestPartitionedRouting:
             assert snapshot() == files_before, (
                 f"{builder.__name__} re-registration rewrote files"
             )
+
+    def test_stale_partitioned_generation_is_pruned(self, spark, tmp_path):
+        from batch_processing_system_spark.engine.partitioning import (
+            _PART_ROOT,
+            partitioned_events,
+        )
+
+        sf_dir = str(tmp_path / "sf")
+        os.makedirs(sf_dir)
+        shutil.copy(
+            os.path.join(SF_SMALL, "events.parquet"),
+            os.path.join(sf_dir, "events.parquet"),
+        )
+        name1 = partitioned_events(spark, sf_dir)
+        path1 = os.path.join(_PART_ROOT, name1)
+        assert os.path.isdir(path1)
+        os.utime(
+            os.path.join(sf_dir, "events.parquet"),
+            ns=(1_000_000_000, 1_000_000_000),
+        )
+        name2 = partitioned_events(spark, sf_dir)
+        assert name2 != name1
+        assert not os.path.isdir(path1), "stale partitioned twin not pruned"
+        assert not spark.catalog.tableExists(name1)
+        spark.sql(f"DROP TABLE IF EXISTS {name2}")
+        shutil.rmtree(os.path.join(_PART_ROOT, name2), ignore_errors=True)
