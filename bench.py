@@ -59,6 +59,7 @@ def main() -> None:
     from batch_processing_system_spark.engine.io import (
         TABLES,
         _bucketed_routing_on,
+        _partitioned_routing_on,
         load_table,
     )
 
@@ -113,6 +114,7 @@ def main() -> None:
 
     total = round(sum(v for v in per_query.values() if v >= 0), 3)
     routed = _bucketed_routing_on()
+    partitioned = _partitioned_routing_on()
     conf = spark.conf
     payload = {
         "metric": "catalog_wall_clock",
@@ -128,8 +130,9 @@ def main() -> None:
             "cbo": conf.get("spark.sql.cbo.enabled"),
             "broadcast_threshold": conf.get("spark.sql.autoBroadcastJoinThreshold"),
             # ADVICE r10: a routed run must be distinguishable from (and
-            # never clobber) the plain-path artifact
+            # never clobber) the plain-path artifact — both layout flags
             "bucketed_routing": routed,
+            "partitioned_routing": partitioned,
             "repeat": n_repeat,
             "pass_totals": pass_totals,
         },
@@ -143,7 +146,11 @@ def main() -> None:
     #    window, so the recorded tail is parseable JSON.
     art_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchmarks")
     os.makedirs(art_dir, exist_ok=True)
-    art_name = f"bench_sf{sf}{'_routed' if routed else ''}.json"
+    art_name = (
+        f"bench_sf{sf}"
+        f"{'_routed' if routed else ''}"
+        f"{'_partitioned' if partitioned else ''}.json"
+    )
     with open(os.path.join(art_dir, art_name), "w") as f:
         json.dump(payload, f, indent=1)
     print(

@@ -96,8 +96,10 @@ _fam(
 def load_min(sf_label: str) -> dict[str, float]:
     mins: dict[str, float] = {}
     n_runs = 0
+    # run-file prefix is per-sweep: override for a future round's files
+    prefix = os.environ.get("SCALE_RUNS_PREFIX", "bench_r10")
     for v in (1, 2, 3):
-        path = os.path.join(LOCAL, f"bench_r10_{sf_label}_v{v}.out")
+        path = os.path.join(LOCAL, f"{prefix}_{sf_label}_v{v}.out")
         if not os.path.exists(path):
             continue
         n_runs += 1
