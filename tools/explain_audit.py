@@ -424,9 +424,15 @@ def main() -> None:
             "plants a dynamicpruningexpression subquery in the fact "
             "scan's PartitionFilters, evaluated from the dim "
             "broadcast at runtime (asserted; see the r73 plan "
-            "above).\n\nThe audit FAILS if r72 loses its "
-            "PartitionFilters or file delta, or r73 loses its "
-            "dynamicpruningexpression.\n"
+            "above).\n"
+            "- **r74 composed layout**: partitionBy(day) + "
+            "bucketBy(user_id) on one table — the date window sits "
+            "in PartitionFilters AND the per-user aggregation runs "
+            "with zero hash Exchange (both asserted; see the r74 "
+            "plan above).\n\nThe audit FAILS if r72 loses its "
+            "PartitionFilters or file delta, r73 loses its "
+            "dynamicpruningexpression, or r74 loses either of its "
+            "two layout properties.\n"
         )
 
     for msg in failures:

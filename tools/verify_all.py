@@ -41,9 +41,16 @@ def main() -> None:
                     "the FULL catalog must stay hash-identical on the "
                     "bucketed-routing path (r10 routing contract, "
                     "measured 168/168 at sf0.01)")
+    ap.add_argument("--partitioned", action="store_true",
+                    help="run the oracle leg with SPARK_GRAFT_PARTITIONED=1: "
+                    "the FULL catalog must stay hash-identical on the "
+                    "date-partitioned events route (r11 layout contract, "
+                    "measured 172/172 at sf0.001)")
     args = ap.parse_args()
     if args.routed:
         os.environ["SPARK_GRAFT_BUCKETED"] = "1"
+    if args.partitioned:
+        os.environ["SPARK_GRAFT_PARTITIONED"] = "1"
     sf = "/root/testdata/sf0.001" if args.fast else "/root/testdata/sf0.01"
     summary: dict = {}
     ok = True
