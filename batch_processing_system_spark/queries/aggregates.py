@@ -443,3 +443,62 @@ def r71_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "r75_skew_profile",
+    """
+    WITH freq AS (
+        SELECT CASE WHEN user_id % 10 < 3 THEN 7 ELSE user_id END AS k,
+               CAST(COUNT(event_id) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n_events) AS BIGINT) AS total_events,
+               CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM freq
+    )
+    SELECT k, n_events,
+           CAST(n_events AS DOUBLE) / total_events AS share,
+           CAST(n_events AS DOUBLE) * n_keys / total_events AS skew_factor,
+           total_events, n_keys
+    FROM freq, tot
+    ORDER BY n_events DESC, k
+    LIMIT 10
+    """,
+    doc="Hot-key skew DIAGNOSTIC — the operational step BEFORE r70/r71's "
+    "mitigations: profile a join/agg key's frequency distribution and "
+    "emit the top-10 heavy keys with their absolute share and their "
+    "skew factor (count vs the uniform-key mean; the hot key of the "
+    "derived corpus profiles at ~45x here). This is how hot_keys lists "
+    "for salted_broadcast_left get chosen and how 'does AQE's skew "
+    "threshold even see this?' gets answered from data rather than "
+    "guessed. Scale shape: one map-side-combinable count per key, one "
+    "broadcast of the 2-column global row, TakeOrderedAndProject for "
+    "the top-10 (O(k) driver output, no global sort). Determinism: "
+    "share and skew_factor are IEEE operations on exactly-representable "
+    "integers through identical expression trees on both engines "
+    "(the r16 lift rule), so the row is tier-1 hash-exact; ties on "
+    "n_events break by k.",
+)
+def r75_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    freq = _hot_key_events(spark, sf_dir).groupBy("k").agg(
+        F.count("event_id").cast("bigint").alias("n_events")
+    )
+    tot = freq.agg(
+        F.sum("n_events").cast("bigint").alias("total_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    n_dbl = F.col("n_events").cast("double")
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n_events",
+            (n_dbl / F.col("total_events")).alias("share"),
+            (n_dbl * F.col("n_keys") / F.col("total_events")).alias("skew_factor"),
+            "total_events",
+            "n_keys",
+        )
+        .orderBy(F.desc("n_events"), "k")
+        .limit(10)
+    )

@@ -40,7 +40,8 @@ _fam(
     "q68_conditional_agg q69_window_breadth q70_map_ops q71_posexplode "
     "q72_unpivot q73_hash_sample q76_variant q82_hll_union "
     "q83_cogrouped_map q84_bitmap_distinct q85_chunk_udtf q95_funnel "
-    "q96_retention q97_transitions r70_salted_hot_agg r71_salted_hot_join",
+    "q96_retention q97_transitions r70_salted_hot_agg r71_salted_hot_join "
+    "r75_skew_profile",
     "Relational (scan/filter/join/agg/window/setops)",
 )
 _fam(
