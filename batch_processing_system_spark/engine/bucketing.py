@@ -63,6 +63,40 @@ def _sf_tag(sf_dir: str) -> str:
     return hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
 
 
+def inline_gc_enabled() -> bool:
+    """ADVICE r11: inline stale-generation GC rmtree's sibling
+    directories under the shared warehouse from the READ path
+    (load_table -> bucketed_table / partitioned_events), so a
+    CONCURRENT process still scanning the old generation — a bench
+    running while pytest regenerates its tmp testdata, or a second
+    live session registered against the old name — would hit
+    file-not-found mid-query. Default ON (single-user bench repo:
+    in-place testdata regeneration must not orphan full table copies
+    forever); set SPARK_GRAFT_LAYOUT_GC=0 when several sessions share
+    the warehouse and run ``python tools/layout_gc.py`` explicitly
+    between workloads instead."""
+    return os.environ.get("SPARK_GRAFT_LAYOUT_GC", "1").lower() not in (
+        "0", "false",
+    )
+
+
+def gc_stale_siblings(spark: SparkSession, root: str, keep_name: str) -> list[str]:
+    """Drop same-spec siblings of ``keep_name`` — directories sharing
+    its prefix up to the trailing source-fingerprint segment — from the
+    session catalog and from disk; returns the pruned names. Only exact
+    same-spec generations are touched: a different bucket count or sort
+    order is a deliberate second layout, not a stale generation."""
+    pruned: list[str] = []
+    prefix = keep_name.rsplit("_", 1)[0] + "_"
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            if d.startswith(prefix) and d != keep_name:
+                spark.sql(f"DROP TABLE IF EXISTS {d}")
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                pruned.append(d)
+    return pruned
+
+
 def _src_fingerprint(sf_dir: str, table: str) -> str:
     """mtime+size fingerprint of the SOURCE parquet, folded into the
     bucketed table's identity (ADVICE r9): regenerating the testdata
@@ -177,15 +211,11 @@ def bucketed_table(
     # SAME (table, sf_dir, buckets, spec) whose source fingerprint
     # differs (ADVICE r10) — each in-place source regeneration mints a
     # new fingerprint-named table and would otherwise orphan the old
-    # full copy under spark-warehouse/bucketed forever. Only exact
-    # same-spec siblings are touched: a different bucket count or sort
-    # order is a deliberate second layout, not a stale generation.
-    prefix = name.rsplit("_", 1)[0] + "_"
-    if os.path.isdir(_BUCKET_ROOT):
-        for d in os.listdir(_BUCKET_ROOT):
-            if d.startswith(prefix) and d != name:
-                spark.sql(f"DROP TABLE IF EXISTS {d}")
-                shutil.rmtree(os.path.join(_BUCKET_ROOT, d), ignore_errors=True)
+    # full copy under spark-warehouse/bucketed forever. Gated
+    # (ADVICE r11): SPARK_GRAFT_LAYOUT_GC=0 defers to tools/layout_gc.py
+    # so implicit reads never delete files another process may scan.
+    if inline_gc_enabled():
+        gc_stale_siblings(spark, _BUCKET_ROOT, name)
     # raw read: never recurse through io.load_table's bucketed routing
     df = load_table(spark, sf_dir, table, raw=True)
     if sort_cols:

@@ -30,12 +30,17 @@ def default_driver_memory(master: str) -> str:
     env = os.environ.get("SPARK_DRIVER_MEMORY")
     if env:
         return env
-    n = os.cpu_count() or 8
     if master.startswith("local["):
-        inner = master[len("local["):].rstrip("]")
-        if inner.isdigit():
-            n = int(inner)
-    elif not master.startswith("local"):
+        # ADVICE r11: the bracket may carry a maxFailures suffix
+        # (``local[N,F]``) and ``*`` means all cores; parse the leading
+        # thread count instead of falling back to full-host sizing.
+        inner = master[len("local["):].rstrip("]").split(",")[0].strip()
+        n = (os.cpu_count() or 8) if inner == "*" else (
+            int(inner) if inner.isdigit() else 1
+        )
+    elif master.startswith("local"):
+        n = 1  # bare 'local' runs one executor thread
+    else:
         return "8g"  # non-local master: driver does no executor work
     return f"{max(8, n // 2)}g"
 
