@@ -43,12 +43,25 @@ def main() -> None:
         default=int(os.environ.get("BENCH_REPEAT", "2")),
         help="catalog passes; per-query time is the min across passes",
     )
+    ap.add_argument(
+        "--only",
+        default=os.environ.get("BENCH_ONLY", ""),
+        help="comma-separated query names: run only this subset (the "
+        "artifact is suffixed _subset and never clobbers a full run)",
+    )
     args = ap.parse_args()
     n_repeat = max(1, args.repeat)
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     _ensure_loaded()
+    names = sorted(REGISTRY)
+    if args.only:
+        wanted = {n.strip() for n in args.only.split(",") if n.strip()}
+        unknown = wanted - set(names)
+        if unknown:
+            sys.exit(f"bench: unknown --only queries: {sorted(unknown)}")
+        names = [n for n in names if n in wanted]
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -60,6 +73,7 @@ def main() -> None:
         TABLES,
         _bucketed_routing_on,
         _partitioned_routing_on,
+        effective_routing,
         load_table,
     )
 
@@ -68,13 +82,13 @@ def main() -> None:
         # leave first-column-touch decode costs inside query timings)
         df = load_table(spark, sf_dir, t)
         df.selectExpr("max(struct(*))").count()
-    next(iter(REGISTRY.values())).fn(spark, sf_dir).count()
+    REGISTRY[names[0]].fn(spark, sf_dir).count()
 
     per_query: dict[str, float] = {}
     pass_totals: list[float] = []
     for _pass in range(n_repeat):
         pass_total = 0.0
-        for name in sorted(REGISTRY):
+        for name in names:
             spec = REGISTRY[name]
             t0 = time.time()
             try:
@@ -133,6 +147,10 @@ def main() -> None:
             # never clobber) the plain-path artifact — both layout flags
             "bucketed_routing": routed,
             "partitioned_routing": partitioned,
+            # ADVICE r11: the EFFECTIVE per-table route (partitioned
+            # beats bucketed for events when both flags are set — the
+            # composed posture), so the artifact records what ran
+            "routing": effective_routing(),
             "repeat": n_repeat,
             "pass_totals": pass_totals,
         },
@@ -149,7 +167,8 @@ def main() -> None:
     art_name = (
         f"bench_sf{sf}"
         f"{'_routed' if routed else ''}"
-        f"{'_partitioned' if partitioned else ''}.json"
+        f"{'_partitioned' if partitioned else ''}"
+        f"{'_subset' if args.only else ''}.json"
     )
     with open(os.path.join(art_dir, art_name), "w") as f:
         json.dump(payload, f, indent=1)

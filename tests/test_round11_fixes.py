@@ -177,9 +177,11 @@ class TestPartitionedRouting:
         assert "PartitionFilters" in plan and "2024-01-10" in plan
         assert "Exchange hashpartitioning" not in plan
 
-    def test_bucketed_flag_wins_for_events(self, spark):
-        # both layout flags set: events must come from the BUCKETED twin
-        # so the bucketed plan-audit assertions stay stable
+    def test_partitioned_flag_wins_for_events(self, spark):
+        # both layout flags set (round 12, the composed posture): events
+        # — the fact stream — must come from the PARTITIONED twin while
+        # the dims/join-facts stay bucketed; pinned in depth by
+        # tests/test_round12_fixes.py::TestComposedRouting
         from batch_processing_system_spark.engine.io import load_table
 
         old_b = os.environ.get("SPARK_GRAFT_BUCKETED")
@@ -189,7 +191,7 @@ class TestPartitionedRouting:
         try:
             df = load_table(spark, SF_SMALL, "events")
             scan = df._jdf.queryExecution().executedPlan().toString()
-            assert "bkt_events_" in scan
+            assert "pby_events_" in scan
         finally:
             for k, v in (("SPARK_GRAFT_BUCKETED", old_b), (self._FLAG, old_p)):
                 if v is None:

@@ -45,7 +45,10 @@ def main() -> None:
                     help="run the oracle leg with SPARK_GRAFT_PARTITIONED=1: "
                     "the FULL catalog must stay hash-identical on the "
                     "date-partitioned events route (r11 layout contract, "
-                    "measured 172/172 at sf0.001)")
+                    "measured 172/172 at sf0.001). Combine with --routed "
+                    "for the composed deployment posture (r12): "
+                    "partitioned facts (events) + bucketed dims/facts "
+                    "(customer/orders/lineitem/documents)")
     args = ap.parse_args()
     if args.routed:
         os.environ["SPARK_GRAFT_BUCKETED"] = "1"
@@ -93,13 +96,14 @@ def main() -> None:
         summary["bench"] = "skipped (--fast)"
         print("[5/5] bench: skipped (--fast)")
     else:
-        r = run([sys.executable, "bench.py"], timeout=900)
+        r = run([sys.executable, "bench.py"], timeout=1800)
         try:
+            # the LAST stdout line is bench.py's compact summary (it
+            # carries "n", not the giant per-query map — ADVICE r11)
             d = json.loads(r.stdout.splitlines()[-1])
-            summary["bench"] = {
-                "total_s": d["value"], "n_queries": len(d["queries"])
-            }
-            print(f"[5/5] bench: {d['value']}s / {len(d['queries'])} queries")
+            n_q = d.get("n", len(d.get("queries", ())))
+            summary["bench"] = {"total_s": d["value"], "n_queries": n_q}
+            print(f"[5/5] bench: {d['value']}s / {n_q} queries")
         except Exception:
             summary["bench"] = "FAILED"
             ok = False
