@@ -34,12 +34,16 @@ Provenance: EXT (scale posture; the reference spec at
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from .bucketing import _sf_tag, _src_fingerprint
+from .bucketing import (
+    _sf_tag,
+    _src_fingerprint,
+    gc_stale_siblings,
+    inline_gc_enabled,
+)
 from .io import load_table
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -51,13 +55,12 @@ PARTITION_COL = "event_date"
 def _gc_stale_generations(spark: SparkSession, keep_name: str) -> None:
     """Before a fresh write, drop same-spec siblings whose source
     fingerprint differs (the trailing name segment) — an in-place
-    testdata regeneration must not orphan the previous full copy."""
-    prefix = keep_name.rsplit("_", 1)[0] + "_"
-    if os.path.isdir(_PART_ROOT):
-        for d in os.listdir(_PART_ROOT):
-            if d.startswith(prefix) and d != keep_name:
-                spark.sql(f"DROP TABLE IF EXISTS {d}")
-                shutil.rmtree(os.path.join(_PART_ROOT, d), ignore_errors=True)
+    testdata regeneration must not orphan the previous full copy.
+    Gated like the bucketed twin (ADVICE r11): SPARK_GRAFT_LAYOUT_GC=0
+    defers cleanup to tools/layout_gc.py so implicit reads never delete
+    files a concurrent process may still be scanning."""
+    if inline_gc_enabled():
+        gc_stale_siblings(spark, _PART_ROOT, keep_name)
 
 
 def partitioned_events(spark: SparkSession, sf_dir: str) -> str:
@@ -114,6 +117,40 @@ def _register_existing(
     )
     # discover the day directories into the catalog's partition metadata
     spark.sql(f"MSCK REPAIR TABLE {name}")
+
+
+_DIM_ROOT = os.path.join(_REPO, "spark-warehouse", "dims")
+
+
+def calendar_dim(spark: SparkSession) -> str:
+    """A genuinely INDEPENDENT calendar/promo dimension written as its
+    own parquet (VERDICT r11 item 3): 30 rows covering Jan 2024 with a
+    deterministic ``is_promo`` flag (day-of-month % 7 == 3 → the 3rd,
+    10th, 17th, 24th). r73's DPP demo derives its dim from the
+    partitioned fact itself; this table exists so r76 can demonstrate
+    the canonical 100 TB DPP silhouette — fact ⋈ separate dim — which
+    survives any future Catalyst change that collapses self-derived
+    subqueries. Content is fixed, so the write is once-per-warehouse
+    (``_SUCCESS`` sentinel), independent of any sf_dir. Returns the
+    parquet path."""
+    path = os.path.join(_DIM_ROOT, "calendar_202401.parquet")
+    if os.path.isdir(path) and os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    # ``promo`` is a STRING category, not a boolean flag, deliberately:
+    # the DPP rule only plants its subquery when the dim side carries a
+    # "likely selective" predicate (literal comparison / IN / LIKE);
+    # a bare boolean attribute filter is rejected by that heuristic
+    # (verified against Spark's PartitionPruning.isLikelySelective), so
+    # the realistic promo-kind category is also the shape that prunes.
+    day = F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int"))
+    df = spark.range(30).select(
+        day.alias("d"),
+        F.when(F.dayofmonth(day) % 7 == 3, F.lit("flash"))
+        .otherwise(F.lit("none"))
+        .alias("promo"),
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
 
 
 def hybrid_events(spark: SparkSession, sf_dir: str, n_buckets: int = 8) -> str:

@@ -185,6 +185,63 @@ def r73_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "r76_dpp_dim_join",
+    """
+    WITH dim AS (
+        SELECT CAST(DATE '2024-01-01' + i * INTERVAL 1 DAY AS DATE) AS d
+        FROM range(30) t(i)
+        WHERE DAY(CAST(DATE '2024-01-01' + i * INTERVAL 1 DAY AS DATE)) % 7 = 3
+    )
+    SELECT CAST(e.ts AS DATE) AS event_date,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_value
+    FROM events e JOIN dim ON CAST(e.ts AS DATE) = dim.d
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="DPP against a genuinely INDEPENDENT dimension (VERDICT r11 "
+    "item 3) — the canonical 100 TB silhouette r73 approximates: "
+    "'revenue on promo days' where the promo-day list lives in its OWN "
+    "table (engine/partitioning.py:calendar_dim, a 30-row calendar "
+    "parquet written separately from any fact), not in the query text "
+    "and not derived from the fact being pruned. The is_promo filter "
+    "on the dim selects 4 of 30 days; Catalyst broadcasts the dim, "
+    "plants a dynamicpruningexpression subquery in the partitioned "
+    "fact scan's PartitionFilters, and the fact side reads only the 4 "
+    "qualifying day directories (plan audit asserts the "
+    "dynamicpruningexpression on THIS shape too, so the demo survives "
+    "optimizer changes that collapse r73's self-derived subquery). "
+    "Oracle: the same 4 promo days generated inline over the "
+    "unpartitioned parquet — layout is pure physics, answers "
+    "hash-identical. Decimal value sum with one final double cast, "
+    "the r72 determinism contract.",
+)
+def r76_dpp_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..engine.partitioning import calendar_dim, partitioned_events
+
+    t = spark.table(partitioned_events(spark, sf_dir))
+    dim = (
+        spark.read.parquet(calendar_dim(spark))
+        .filter(F.col("promo") == "flash")
+        .select("d")
+    )
+    return (
+        t.join(dim, t.event_date == dim.d)
+        .groupBy("event_date")
+        .agg(
+            F.count("event_id").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_date")
+    )
+
+
+@register(
     "r74_hybrid_layout",
     """
     SELECT user_id,

@@ -89,7 +89,8 @@ _fam(
     "r19_interval_merge r22_jaro_match r24_ewma r25_zorder r26_skyline "
     "r27_proration r28_histogram r29_ri_audit r49_sorted_neighborhood "
     "r50_rolling_actives r55_cohort_ltv r56_rolling_actives_hll r66_rfm "
-    "r72_date_partition_prune r73_dpp_join r74_hybrid_layout",
+    "r72_date_partition_prune r73_dpp_join r74_hybrid_layout "
+    "r76_dpp_dim_join",
     "Wrangling / profiling / sampling",
 )
 
@@ -152,6 +153,12 @@ def main() -> None:
     def ratios(sums: dict[str, float]) -> list[str]:
         cells: list[str] = []
         for (a, b), base in zip(steps, bases):
+            # ADVICE r11: a family whose minima all round to 0.0 at the
+            # smaller SF is below the timer's noise floor — emit a dash
+            # instead of dividing by zero and killing the report.
+            if sums[a] <= 0 or sums[b] <= 0:
+                cells += ["—", "—"]
+                continue
             r = sums[b] / sums[a]
             cells += [f"{r:.2f}×", f"{math.log10(r) / math.log10(base):.2f}"]
         return cells
