@@ -85,14 +85,31 @@ def _partitioned_routing_on() -> bool:
     )
 
 
+def _hybrid_routing_on() -> bool:
+    """Opt-in HYBRID routing (round 12, closes the composed-posture
+    trade): with SPARK_GRAFT_HYBRID truthy, events scans are served
+    from the r74 hybrid twin — partitionBy(event_date) AND
+    bucketBy(user_id) in one table (engine/partitioning.py:
+    hybrid_events) — so general events consumers get BOTH levers:
+    time-window scan pruning and user_id co-location. This is the full
+    100 TB events-hypertable posture; the partition-only route
+    (SPARK_GRAFT_PARTITIONED) keeps existing per-flag plan assertions
+    stable. Hybrid wins over both other flags for events."""
+    return os.environ.get("SPARK_GRAFT_HYBRID", "").lower() not in (
+        "", "0", "false",
+    )
+
+
 def effective_routing() -> dict[str, str]:
     """The route ``load_table`` takes per table under the CURRENT env
-    flags — partitioned beats bucketed for events when both are set.
+    flags — for events: hybrid beats partitioned beats bucketed.
     ADVICE r11: artifacts must record what actually ran, not raw flag
     values, so bench.py embeds this map in its config block."""
     out: dict[str, str] = {}
     for t in TABLES:
-        if t == "events" and _partitioned_routing_on():
+        if t == "events" and _hybrid_routing_on():
+            out[t] = "hybrid"
+        elif t == "events" and _partitioned_routing_on():
             out[t] = "partitioned"
         elif t in BUCKET_SPECS and _bucketed_routing_on():
             out[t] = "bucketed"
@@ -117,9 +134,15 @@ def load_table(
     # so a non-UTC session would otherwise see different date_trunc
     # buckets on the routed path than on the plain one.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # Partitioned routing checked FIRST: with both flags set, the fact
-    # stream (events) is served date-partitioned and the dims/join-facts
-    # bucketed — the composed posture (see _partitioned_routing_on).
+    # Events routing precedence: hybrid > partitioned > bucketed. With
+    # SPARK_GRAFT_HYBRID the fact stream gets BOTH layout levers from
+    # the r74 twin; otherwise the partitioned route wins over bucketed
+    # so the two-flag combination is the composed posture (partitioned
+    # facts + bucketed dims — see _partitioned_routing_on).
+    if not raw and name == "events" and _hybrid_routing_on():
+        from .partitioning import PARTITION_COL, hybrid_events
+
+        return spark.table(hybrid_events(spark, sf_dir)).drop(PARTITION_COL)
     if not raw and name == "events" and _partitioned_routing_on():
         from .partitioning import PARTITION_COL, partitioned_events
 

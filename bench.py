@@ -72,6 +72,7 @@ def main() -> None:
     from batch_processing_system_spark.engine.io import (
         TABLES,
         _bucketed_routing_on,
+        _hybrid_routing_on,
         _partitioned_routing_on,
         effective_routing,
         load_table,
@@ -129,6 +130,7 @@ def main() -> None:
     total = round(sum(v for v in per_query.values() if v >= 0), 3)
     routed = _bucketed_routing_on()
     partitioned = _partitioned_routing_on()
+    hybrid = _hybrid_routing_on()
     conf = spark.conf
     payload = {
         "metric": "catalog_wall_clock",
@@ -147,6 +149,7 @@ def main() -> None:
             # never clobber) the plain-path artifact — both layout flags
             "bucketed_routing": routed,
             "partitioned_routing": partitioned,
+            "hybrid_routing": hybrid,
             # ADVICE r11: the EFFECTIVE per-table route (partitioned
             # beats bucketed for events when both flags are set — the
             # composed posture), so the artifact records what ran
@@ -168,6 +171,7 @@ def main() -> None:
         f"bench_sf{sf}"
         f"{'_routed' if routed else ''}"
         f"{'_partitioned' if partitioned else ''}"
+        f"{'_hybrid' if hybrid else ''}"
         f"{'_subset' if args.only else ''}.json"
     )
     with open(os.path.join(art_dir, art_name), "w") as f:

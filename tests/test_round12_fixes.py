@@ -115,6 +115,49 @@ class TestComposedRouting:
             ), f"{table} rows differ on the composed route"
 
 
+class TestHybridRouting:
+    """SPARK_GRAFT_HYBRID serves events from the r74 hybrid twin
+    (partitionBy(day) + bucketBy(user_id)) — both layout levers on
+    general scans; pure layout, so schema and rows are identical."""
+
+    def test_hybrid_wins_and_rows_identical(self, spark, monkeypatch):
+        from batch_processing_system_spark.engine.io import (
+            effective_routing,
+            load_table,
+        )
+
+        plain = load_table(spark, SF_SMALL, "events")
+        monkeypatch.setenv("SPARK_GRAFT_HYBRID", "1")
+        # hybrid must win over the other events routes
+        monkeypatch.setenv("SPARK_GRAFT_PARTITIONED", "1")
+        monkeypatch.setenv("SPARK_GRAFT_BUCKETED", "1")
+        assert effective_routing()["events"] == "hybrid"
+        routed = load_table(spark, SF_SMALL, "events")
+        assert all("/partitioned/hyb_events_" in f for f in routed.inputFiles())
+        assert [(f.name, f.dataType) for f in plain.schema.fields] == [
+            (f.name, f.dataType) for f in routed.schema.fields
+        ]
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, routed.collect())
+        )
+
+    def test_hybrid_scan_serves_user_rollup_without_exchange(self, spark, monkeypatch):
+        # the point of the hybrid route: a per-user aggregation over the
+        # ROUTED general scan consumes the bucket distribution — no hash
+        # Exchange (only whatever the final plan needs for ordering)
+        from batch_processing_system_spark.engine.io import load_table
+        from pyspark.sql import functions as F2
+
+        monkeypatch.setenv("SPARK_GRAFT_HYBRID", "1")
+        df = (
+            load_table(spark, SF_SMALL, "events")
+            .groupBy("user_id")
+            .agg(F2.count("event_id").alias("n"))
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan[:500]
+
+
 class TestDetectHotKeys:
     """VERDICT r11 item 2: the r75 diagnostic feeds the r71 mitigation —
     planted hot keys at varying shares are auto-detected and the
