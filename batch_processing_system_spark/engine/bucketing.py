@@ -45,6 +45,7 @@ rewriting — registration costs a schema read, not a data pass.
 from __future__ import annotations
 
 import hashlib
+import logging
 import os
 import re
 import shutil
@@ -74,10 +75,12 @@ def inline_gc_enabled() -> bool:
     in-place testdata regeneration must not orphan full table copies
     forever); set SPARK_GRAFT_LAYOUT_GC=0 when several sessions share
     the warehouse and run ``python tools/layout_gc.py`` explicitly
-    between workloads instead."""
-    return os.environ.get("SPARK_GRAFT_LAYOUT_GC", "1").lower() not in (
-        "0", "false",
-    )
+    between workloads instead. Parsed through the shared env_flag
+    vocabulary (ADVICE r12: 'no'/'off' previously ENABLED this flag
+    while disabling the routing flags)."""
+    from .io import env_flag
+
+    return env_flag("SPARK_GRAFT_LAYOUT_GC", default=True)
 
 
 def gc_stale_siblings(spark: SparkSession, root: str, keep_name: str) -> list[str]:
@@ -85,7 +88,10 @@ def gc_stale_siblings(spark: SparkSession, root: str, keep_name: str) -> list[st
     its prefix up to the trailing source-fingerprint segment — from the
     session catalog and from disk; returns the pruned names. Only exact
     same-spec generations are touched: a different bucket count or sort
-    order is a deliberate second layout, not a stale generation."""
+    order is a deliberate second layout, not a stale generation.
+    Pruned names are logged (ADVICE r12): an implicit read that
+    triggered a rewrite should leave a visible trace of what it
+    deleted, not silently reshape a shared directory."""
     pruned: list[str] = []
     prefix = keep_name.rsplit("_", 1)[0] + "_"
     if os.path.isdir(root):
@@ -94,6 +100,12 @@ def gc_stale_siblings(spark: SparkSession, root: str, keep_name: str) -> list[st
                 spark.sql(f"DROP TABLE IF EXISTS {d}")
                 shutil.rmtree(os.path.join(root, d), ignore_errors=True)
                 pruned.append(d)
+    if pruned:
+        logging.getLogger(__name__).warning(
+            "layout GC pruned stale generation(s) %s under %s (kept %s); "
+            "set SPARK_GRAFT_LAYOUT_GC=0 to defer to tools/layout_gc.py",
+            pruned, root, keep_name,
+        )
     return pruned
 
 
@@ -207,15 +219,6 @@ def bucketed_table(
     ):
         _register_existing(spark, name, path, bucket_col, n_buckets, sort_cols)
         return name
-    # About to write a fresh generation: prune stale siblings of the
-    # SAME (table, sf_dir, buckets, spec) whose source fingerprint
-    # differs (ADVICE r10) — each in-place source regeneration mints a
-    # new fingerprint-named table and would otherwise orphan the old
-    # full copy under spark-warehouse/bucketed forever. Gated
-    # (ADVICE r11): SPARK_GRAFT_LAYOUT_GC=0 defers to tools/layout_gc.py
-    # so implicit reads never delete files another process may scan.
-    if inline_gc_enabled():
-        gc_stale_siblings(spark, _BUCKET_ROOT, name)
     # raw read: never recurse through io.load_table's bucketed routing
     df = load_table(spark, sf_dir, table, raw=True)
     if sort_cols:
@@ -237,6 +240,17 @@ def bucketed_table(
     writer.saveAsTable(name)
     if sort_cols:
         _assert_one_file_per_bucket(path, n_buckets)
+    # Prune stale same-spec siblings only AFTER the fresh generation
+    # landed successfully (ADVICE r12: GC used to run before the write,
+    # so a failed write deleted the old copy without producing a new
+    # one). Each in-place source regeneration mints a new
+    # fingerprint-named table and would otherwise orphan the old full
+    # copy under spark-warehouse/bucketed forever. Gated (ADVICE r11):
+    # SPARK_GRAFT_LAYOUT_GC=0 defers to tools/layout_gc.py so implicit
+    # reads never delete files another process may scan; pruned names
+    # are logged by gc_stale_siblings.
+    if inline_gc_enabled():
+        gc_stale_siblings(spark, _BUCKET_ROOT, name)
     return name
 
 

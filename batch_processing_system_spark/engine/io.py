@@ -28,6 +28,20 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+
+def env_flag(name: str, default: bool = False) -> bool:
+    """One truthy/falsy vocabulary for every SPARK_GRAFT_* boolean flag
+    (ADVICE r12: the GC flag read '1'-default/'0'-disables while the
+    routing flags read ''-default/anything-else-enables, so 'no'/'off'
+    ENABLED one and DISABLED the others). Unset → ``default``; set →
+    true iff the value is one of 1/true/yes/on (case-insensitive,
+    whitespace-tolerant) — 'no', 'off', '0', 'false', '' and any typo
+    all read as false rather than silently enabling."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    return raw.strip().lower() in ("1", "true", "yes", "on")
+
 # Opt-in bucketed routing (VERDICT r7 item "make bucketing
 # load-bearing"): with SPARK_GRAFT_BUCKETED truthy, scans of the
 # tables below are served from bucketed catalog tables
@@ -63,9 +77,7 @@ BUCKET_SPECS: dict[str, tuple[str, int]] = {
 
 
 def _bucketed_routing_on() -> bool:
-    return os.environ.get("SPARK_GRAFT_BUCKETED", "").lower() not in (
-        "", "0", "false",
-    )
+    return env_flag("SPARK_GRAFT_BUCKETED")
 
 
 def _partitioned_routing_on() -> bool:
@@ -80,9 +92,7 @@ def _partitioned_routing_on() -> bool:
     pruning and buckets its dims/join-facts for shuffle elimination —
     exactly what the combined flags now express (the combined
     full-catalog oracle leg and tests/test_round12_fixes.py pin it)."""
-    return os.environ.get("SPARK_GRAFT_PARTITIONED", "").lower() not in (
-        "", "0", "false",
-    )
+    return env_flag("SPARK_GRAFT_PARTITIONED")
 
 
 def _hybrid_routing_on() -> bool:
@@ -95,9 +105,7 @@ def _hybrid_routing_on() -> bool:
     100 TB events-hypertable posture; the partition-only route
     (SPARK_GRAFT_PARTITIONED) keeps existing per-flag plan assertions
     stable. Hybrid wins over both other flags for events."""
-    return os.environ.get("SPARK_GRAFT_HYBRID", "").lower() not in (
-        "", "0", "false",
-    )
+    return env_flag("SPARK_GRAFT_HYBRID")
 
 
 def effective_routing() -> dict[str, str]:

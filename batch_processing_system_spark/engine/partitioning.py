@@ -80,7 +80,6 @@ def partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     if os.path.isdir(path) and os.path.exists(os.path.join(path, "_SUCCESS")):
         _register_existing(spark, name, path)
         return name
-    _gc_stale_generations(spark, name)
     df = load_table(spark, sf_dir, "events", raw=True).withColumn(
         PARTITION_COL, F.to_date(F.col("ts"))
     )
@@ -96,6 +95,9 @@ def partitioned_events(spark: SparkSession, sf_dir: str) -> str:
         .partitionBy(PARTITION_COL)
         .saveAsTable(name)
     )
+    # GC only after the fresh generation landed (ADVICE r12: a failed
+    # write must not have already deleted the previous copy)
+    _gc_stale_generations(spark, name)
     return name
 
 
@@ -182,7 +184,6 @@ def hybrid_events(spark: SparkSession, sf_dir: str, n_buckets: int = 8) -> str:
     if os.path.isdir(path) and os.path.exists(os.path.join(path, "_SUCCESS")):
         _register_existing(spark, name, path, bucket_clause)
         return name
-    _gc_stale_generations(spark, name)
     df = load_table(spark, sf_dir, "events", raw=True).withColumn(
         PARTITION_COL, F.to_date(F.col("ts"))
     )
@@ -198,4 +199,6 @@ def hybrid_events(spark: SparkSession, sf_dir: str, n_buckets: int = 8) -> str:
         .bucketBy(n_buckets, "user_id")
         .saveAsTable(name)
     )
+    # GC only after the fresh generation landed (ADVICE r12)
+    _gc_stale_generations(spark, name)
     return name

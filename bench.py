@@ -58,6 +58,11 @@ def main() -> None:
     names = sorted(REGISTRY)
     if args.only:
         wanted = {n.strip() for n in args.only.split(",") if n.strip()}
+        # ADVICE r12: '--only " , "' parses to zero names, which passed
+        # the unknown-name check (empty set is a subset of anything)
+        # and then crashed with IndexError at warmup — fail usefully.
+        if not wanted:
+            sys.exit("bench: --only given but no query names parsed from it")
         unknown = wanted - set(names)
         if unknown:
             sys.exit(f"bench: unknown --only queries: {sorted(unknown)}")

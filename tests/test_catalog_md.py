@@ -24,10 +24,17 @@ class TestCatalogIndex:
         text = open(OUT).read()
         for name in REGISTRY:
             assert f"| {name} |" in text, f"{name} missing from CATALOG.md"
-        # location column points at real files
+        # location column points at real files. Paths in CATALOG.md are
+        # repo-relative; anchor them at the repo root (ADVICE r12: a
+        # bare os.path.exists fails spuriously when pytest is invoked
+        # from outside the repo).
+        from tools.gen_catalog import _REPO
+
         for line in text.splitlines():
             if line.startswith("| ") and " | " in line and ":" in line:
                 cells = [c.strip() for c in line.split("|")]
                 if len(cells) >= 6 and ":" in cells[4]:
                     path = cells[4].rsplit(":", 1)[0]
-                    assert os.path.exists(path), f"dangling location {cells[4]}"
+                    assert os.path.exists(os.path.join(_REPO, path)), (
+                        f"dangling location {cells[4]}"
+                    )

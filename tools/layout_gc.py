@@ -31,10 +31,55 @@ ROOTS = (
 )
 
 
+def _sf_dirs_by_tag() -> dict[str, str]:
+    """Map the 8-hex sf-dir tag embedded in twin names back to the
+    source directory, for every candidate testdata root on this host
+    (the driver's /root/testdata SFs, the repo-local .localdata SFs,
+    and $SPARK_GRAFT_SF_DIR). The tag is md5(abspath)[:8], so it can
+    only be inverted by enumerating candidates."""
+    from batch_processing_system_spark.engine.bucketing import _sf_tag
+
+    cands: list[str] = []
+    env = os.environ.get("SPARK_GRAFT_SF_DIR")
+    if env:
+        cands.append(env)
+    for root in ("/root/testdata", os.path.join(_REPO, ".localdata")):
+        if os.path.isdir(root):
+            cands += [os.path.join(root, d) for d in sorted(os.listdir(root))]
+    return {_sf_tag(d): d for d in cands if os.path.isdir(d)}
+
+
+def _current_fingerprint(prefix: str) -> str | None:
+    """The source fingerprint the CURRENT testdata would mint for this
+    spec prefix (``{kind}_{table}_{sftag}[_...]``), or None when the
+    sf dir can't be resolved (e.g. a pytest tmp path long gone)."""
+    parts = prefix.split("_")
+    if len(parts) < 3:
+        return None
+    table, tag = parts[1], parts[2]
+    sf_dir = _sf_dirs_by_tag().get(tag)
+    if sf_dir is None:
+        return None
+    from batch_processing_system_spark.engine.bucketing import _src_fingerprint
+
+    try:
+        fp = _src_fingerprint(sf_dir, table)
+    except OSError:
+        return None
+    # a missing source parquet fingerprints the empty list — treat as
+    # unresolvable rather than matching nothing
+    return fp if os.path.exists(os.path.join(sf_dir, f"{table}.parquet")) else None
+
+
 def stale_generations(root: str) -> list[str]:
     """Group sibling directories by spec prefix (name minus the
-    trailing source-fingerprint segment); everything but the most
-    recently modified generation of each group is stale."""
+    trailing source-fingerprint segment). Within each group, keep the
+    generation whose trailing fingerprint matches the CURRENT source
+    (ADVICE r12: mtime alone keeps the NEWEST directory, which is the
+    wrong one when testdata was reverted to an earlier snapshot — the
+    live generation would be deleted and every next read forced into a
+    full rewrite); fall back to newest-mtime when the source can't be
+    resolved. Everything else in the group is stale."""
     groups: dict[str, list[str]] = {}
     if not os.path.isdir(root):
         return []
@@ -42,9 +87,13 @@ def stale_generations(root: str) -> list[str]:
         if os.path.isdir(os.path.join(root, d)) and "_" in d:
             groups.setdefault(d.rsplit("_", 1)[0], []).append(d)
     stale: list[str] = []
-    for sibs in groups.values():
+    for prefix, sibs in groups.items():
         if len(sibs) > 1:
-            keep = max(sibs, key=lambda d: os.stat(os.path.join(root, d)).st_mtime)
+            fp = _current_fingerprint(prefix)
+            live = [d for d in sibs if fp and d.rsplit("_", 1)[1] == fp]
+            keep = live[0] if live else max(
+                sibs, key=lambda d: os.stat(os.path.join(root, d)).st_mtime
+            )
             stale += [d for d in sibs if d != keep]
     return stale
 
