@@ -100,6 +100,8 @@ def detect_hot_keys(
     skew_threshold: float = 16.0,
     top_k: int = 64,
     min_share: float | None = None,
+    sample_fraction: float | None = None,
+    seed: int = 7,
 ) -> list:
     """Data-driven hot-key selection — the r75 diagnostic feeding the
     r71 mitigation (VERDICT r11 item 2): profile ``key``'s frequency
@@ -127,7 +129,27 @@ def detect_hot_keys(
     stage, which is exactly what broadcast mitigation is for. Share is
     also the criterion that is stable across scale factors: mass
     concentration, not key-domain size, is what hurts.
+
+    ``sample_fraction`` (VERDICT r12 item 2): profile a seeded
+    Bernoulli sample instead of the full input. At 100 TB the profile
+    is run once on ``df.sample(0.01)`` and reused, not recomputed per
+    query — a hot key's SHARE of sampled mass is an unbiased estimate
+    of its true share, so the ``min_share`` criterion is
+    sampling-stable (property-tested at planted shares 0.5/0.3 in
+    tests/test_round13_fixes.py). Caveat — the RELATIVE
+    ``skew_threshold`` criterion is not: rare keys with expected
+    sampled count < 1 vanish from the sample, shrinking the observed
+    key-domain ``n_keys`` and with it every key's skew factor
+    (``count * n_keys / total``), so borderline relative-only hot keys
+    can be missed under sampling. Pair sampling with ``min_share``,
+    which is what actually predicts reducer serialization. ``seed``
+    keeps the sample — and therefore the detected list and any plan
+    built from it — deterministic across runs and stage retries.
     """
+    if sample_fraction is not None and not 0.0 < sample_fraction <= 1.0:
+        raise ValueError(f"sample_fraction must be in (0, 1], got {sample_fraction}")
+    if sample_fraction is not None and sample_fraction < 1.0:
+        df = df.sample(fraction=sample_fraction, seed=seed)
     freq = (
         df.filter(F.col(key).isNotNull())
         .groupBy(key)
@@ -176,3 +198,28 @@ def salted_broadcast_left(
     hot_j = left.filter(hot).join(F.broadcast(right.filter(hot)), key, how)
     cold_j = left.filter(~hot).join(right.filter(~hot), key, how)
     return hot_j.unionByName(cold_j)
+
+
+#: process-lifetime hot-key profiles, keyed by a caller-chosen token
+#: (e.g. ``("events.k", sf_dir)``). Never invalidated within a process:
+#: a skew profile describes the DATA, which is immutable for a given
+#: source; a regenerated source should carry a new token (fold the
+#: source fingerprint in if that matters).
+_HOT_KEY_CACHE: dict[tuple, list] = {}
+
+
+def detect_hot_keys_cached(
+    cache_token: tuple, df: DataFrame, key: str, **kwargs
+) -> list:
+    """``detect_hot_keys`` with a process-lifetime memo (VERDICT r12
+    item 2): the operational posture at 100 TB is "profile once —
+    usually on a sample — and reuse", not "rescan the fact table
+    inside every query". First call per token pays the (sampled)
+    profile scan; every later call is a dict lookup, so a steady-state
+    pipeline re-running the same skew-mitigated query pays detection
+    exactly once per process. The returned list is copied so callers
+    can't corrupt the cache."""
+    tok = (key,) + tuple(cache_token)
+    if tok not in _HOT_KEY_CACHE:
+        _HOT_KEY_CACHE[tok] = detect_hot_keys(df, key, **kwargs)
+    return list(_HOT_KEY_CACHE[tok])

@@ -421,6 +421,10 @@ def _hot_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "holding >=10% of total mass (the SF-stable criterion) — the "
     "diagnostic-to-mitigation loop closed end-to-end, property-tested "
     "at varying planted shares in tests/test_round12_fixes.py. "
+    "Round 13 (VERDICT r12 item 2): detection profiles a 10% seeded "
+    "sample and is cached per (query, sf_dir) for the process "
+    "lifetime, so steady-state reruns pay zero detection cost; a "
+    "precomputed hot_keys list can also be passed directly. "
     "Result is row-identical to the plain inner join "
     "(the helper's contract, property-tested in test_scale_paths), so "
     "this row is tier-1 hash-checked against the plain-join SQL. The "
@@ -432,8 +436,10 @@ def _hot_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sub-threshold hot key (SCALE.md: measured 1.9x on exactly that "
     "regime) is handled by construction here.",
 )
-def r71_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..engine.skew import detect_hot_keys, salted_broadcast_left
+def r71_salted_hot_join(
+    spark: SparkSession, sf_dir: str, hot_keys: list | None = None
+) -> DataFrame:
+    from ..engine.skew import detect_hot_keys_cached, salted_broadcast_left
 
     probe = _hot_key_events(spark, sf_dir).select("k", "event_id")
     dim = load_table(spark, sf_dir, "customer").select(
@@ -444,9 +450,19 @@ def r71_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min_share=0.1 is the SF-stable criterion: the planted key carries
     # 30% of the mass at EVERY scale factor, while its skew factor
     # (share x n_keys) degrades to ~4x on sf0.001's 9-key domain.
-    joined = salted_broadcast_left(
-        probe, dim, "k", hot_keys=detect_hot_keys(probe, "k", min_share=0.1)
-    )
+    # Round 13 (VERDICT r12 item 2): detection is SAMPLED (10% seeded
+    # Bernoulli — min_share is the sampling-stable criterion) and
+    # CACHED per sf_dir, so only the first run per process pays the
+    # profile scan — the 100 TB posture is profile-once-reuse, not
+    # rescan-per-query. A caller with an already-known profile (e.g.
+    # from a prior r75 run) passes ``hot_keys`` and skips detection
+    # entirely; the result is row-identical either way because
+    # salted_broadcast_left equals the plain join for ANY hot list.
+    if hot_keys is None:
+        hot_keys = detect_hot_keys_cached(
+            ("r71", sf_dir), probe, "k", min_share=0.1, sample_fraction=0.1
+        )
+    joined = salted_broadcast_left(probe, dim, "k", hot_keys=hot_keys)
     return (
         joined.groupBy("c_mktsegment")
         .agg(
