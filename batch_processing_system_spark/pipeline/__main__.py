@@ -96,7 +96,13 @@ def cmd_submit(args: argparse.Namespace) -> int:
         details = [
             {k: v for k, v in e.items() if v is not None} for e in out.errors
         ]
-        print(json.dumps({"error": "Validation Failed", "details": details}))
+        body = {"error": "Validation Failed", "details": details}
+        # capped body (VERDICT r12 item 3): truthful total alongside
+        # the first-N details
+        if out.total_errors > len(details):
+            body["total_errors"] = out.total_errors
+            body["truncated"] = True
+        print(json.dumps(body))
         return 2
     _rewrite_state(jobs.unionByName(out.jobs), args.jobs)
     _rewrite_state(out.marked_docs, args.docs)
@@ -121,6 +127,8 @@ def cmd_poll(args: argparse.Namespace) -> int:
     _rewrite_state(new_docs, args.docs)
     _rewrite_state(new_jobs, args.jobs)
 
+    # bounded-collect: one row per job STATUS value — the state machine
+    # has a fixed handful of statuses (schemas.py), independent of size
     statuses = {
         r["status"]: r["n"]
         for r in new_jobs.sparkSession.read.parquet(args.jobs)

@@ -143,9 +143,12 @@ class PipelineHandler(BaseHTTPRequestHandler):
                         {k: v for k, v in e.items() if v is not None}
                         for e in out.errors
                     ]
-                    self._reply(
-                        400, {"error": "Validation Failed", "details": details}
-                    )
+                    body = {"error": "Validation Failed", "details": details}
+                    # capped body (VERDICT r12 item 3)
+                    if out.total_errors > len(details):
+                        body["total_errors"] = out.total_errors
+                        body["truncated"] = True
+                    self._reply(400, body)
                     return
                 rewrite_state(jobs.unionByName(out.jobs), self.jobs_path)
                 rewrite_state(out.marked_docs, self.docs_path)
