@@ -170,6 +170,7 @@ def upsert_store(
     n_buckets = manifest["n_buckets"]
 
     tagged = updates.withColumn(BUCKET_COL, bucket_of(F.col("custom_id"), n_buckets))
+    # bounded-collect: distinct bucket ids, at most n_buckets rows
     touched = sorted(
         r[BUCKET_COL] for r in tagged.select(BUCKET_COL).distinct().collect()
     )

@@ -60,6 +60,7 @@ def upsert_documents_partitioned(
     with the same expressions.
     """
     tagged = updates.withColumn(BUCKET_COL, bucket_of(F.col("custom_id"), n_buckets))
+    # bounded-collect: distinct bucket ids, at most n_buckets rows
     touched = [r[BUCKET_COL] for r in tagged.select(BUCKET_COL).distinct().collect()]
     if not touched:
         return []

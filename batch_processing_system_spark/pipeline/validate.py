@@ -86,6 +86,7 @@ def validate_submission(
     # TakeOrderedAndProject — deterministic like row_number (line_id is
     # unique, D4) but without funnelling the whole file through one
     # partition's sort.
+    # bounded-collect: limit(1) — exactly one row
     first_model_row = well_formed.orderBy("line_id").limit(1).collect()
     model = first_model_row[0]["body"]["model"] if first_model_row else None
     model_errors = well_formed.filter(F.col("body.model") != F.lit(model)).select(

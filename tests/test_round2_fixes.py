@@ -142,18 +142,27 @@ class TestConnectedComponents:
 
 
 class TestNoUnboundedCollect:
-    def test_every_collect_in_queries_is_tagged_bounded(self):
-        """Greppable invariant (VERDICT round-1 item 3): any driver
-        materialization inside the query catalog must sit under an
-        explicit `# bounded-collect:` justification comment."""
+    def test_every_collect_in_package_is_tagged_bounded(self):
+        """Greppable invariant (VERDICT round-1 item 3; widened to the
+        WHOLE package round 13, VERDICT r12 item 4): any driver
+        materialization anywhere in batch_processing_system_spark —
+        queries, pipeline, streaming, engine, functions, sources —
+        must sit under an explicit `# bounded-collect:` justification
+        comment within the 10 preceding lines (multi-line method
+        chains put the closing .collect() several lines below the
+        statement head, so a 2-line window was queries-only-tight)."""
+        pkg_dir = os.path.dirname(QUERIES_DIR)
         offenders = []
-        for fname in sorted(os.listdir(QUERIES_DIR)):
-            if not fname.endswith(".py"):
-                continue
-            lines = open(os.path.join(QUERIES_DIR, fname)).read().splitlines()
-            for i, line in enumerate(lines):
-                if re.search(r"\.(collect|toPandas|toLocalIterator)\(\)", line):
-                    window = "\n".join(lines[max(0, i - 2) : i + 1])
-                    if "bounded-collect" not in window:
-                        offenders.append(f"{fname}:{i + 1}: {line.strip()}")
+        for dirpath, _, fnames in sorted(os.walk(pkg_dir)):
+            for fname in sorted(fnames):
+                if not fname.endswith(".py"):
+                    continue
+                fpath = os.path.join(dirpath, fname)
+                rel = os.path.relpath(fpath, pkg_dir)
+                lines = open(fpath).read().splitlines()
+                for i, line in enumerate(lines):
+                    if re.search(r"\.(collect|toPandas|toLocalIterator)\(\)", line):
+                        window = "\n".join(lines[max(0, i - 10) : i + 1])
+                        if "bounded-collect" not in window:
+                            offenders.append(f"{rel}:{i + 1}: {line.strip()}")
         assert not offenders, f"unbounded driver materialization: {offenders}"
