@@ -49,34 +49,101 @@ def _check(spark, tmp, qname):
     assert out["ok"], out.get("note")
 
 
+def _check_routed(spark, tmp, qname, layout_root):
+    """The same Spark-vs-DuckDB comparison, but with the Spark side
+    served through the ROUTED scans (VERDICT r12 item 5): the hybrid
+    events twin (partitionBy(day)+bucketBy(user_id)) and the bucketed
+    dim/fact twins are built FROM the hypothesis-random micro-tables
+    into a per-example layout root, while DuckDB still reads the plain
+    parquet — so randomized shapes (ties, empty groups, boundary
+    timestamps) also cross the layout-twin write/register/read path
+    and any schema drift the twins introduce fails the comparison.
+    The warehouse roots are redirected so micro-twins never pollute
+    the repo's shared spark-warehouse."""
+    import os
+
+    from batch_processing_system_spark.engine import bucketing, partitioning
+
+    old_env = {
+        k: os.environ.get(k)
+        for k in ("SPARK_GRAFT_HYBRID", "SPARK_GRAFT_BUCKETED")
+    }
+    old_roots = (bucketing._BUCKET_ROOT, partitioning._PART_ROOT)
+    os.environ["SPARK_GRAFT_HYBRID"] = "1"
+    os.environ["SPARK_GRAFT_BUCKETED"] = "1"
+    bucketing._BUCKET_ROOT = str(layout_root / "bucketed")
+    partitioning._PART_ROOT = str(layout_root / "partitioned")
+    try:
+        _check(spark, tmp, qname)
+    finally:
+        for k, v in old_env.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+        bucketing._BUCKET_ROOT, partitioning._PART_ROOT = old_roots
+
+
+def _gen_custdist(spark, tmp, data):
+    """Random customer/orders micro-shape (shared by the plain and the
+    routed sweeps): tiny key domains for constant tie/empty pressure."""
+    n_cust = data.draw(st.integers(1, 8))
+    n_ord = data.draw(st.integers(0, 15))
+    prios = ["1-URGENT", "5-LOW"]
+    _write(
+        spark, tmp, "customer",
+        [(c, f"c{c}", 1, 0.0, "S") for c in range(1, n_cust + 1)],
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    _write(
+        spark, tmp, "orders",
+        [
+            (
+                o,
+                data.draw(st.integers(1, n_cust), label=f"cust{o}"),
+                "O", 1.0, _TS,
+                data.draw(st.sampled_from(prios), label=f"p{o}"),
+            )
+            for o in range(1, n_ord + 1)
+        ],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+
+
+def _gen_events_rolling(spark, tmp, data):
+    """Random events micro-shape with repeated values (lerp-on-ties
+    pressure for the rolling median; shared plain/routed)."""
+    n_ev = data.draw(st.integers(1, 20))
+    n_users = data.draw(st.integers(1, 3))
+    vals = [1.25, 2.5, 2.5, 7.75]
+    _write(
+        spark, tmp, "events",
+        [
+            (
+                i,
+                _TS + datetime.timedelta(
+                    minutes=data.draw(st.integers(0, 5), label=f"m{i}")
+                ),
+                data.draw(st.integers(1, n_users), label=f"u{i}"),
+                "purchase",
+                data.draw(st.sampled_from(vals), label=f"v{i}"),
+                "{}",
+            )
+            for i in range(1, n_ev + 1)
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+
+
 class TestRandomOracle:
     @given(data=st.data())
     @settings(max_examples=8, deadline=None)
     def test_custdist_random(self, spark, tmp_path_factory, data):
         tmp = tmp_path_factory.mktemp("rnd")
-        n_cust = data.draw(st.integers(1, 8))
-        n_ord = data.draw(st.integers(0, 15))
-        prios = ["1-URGENT", "5-LOW"]
-        _write(
-            spark, tmp, "customer",
-            [(c, f"c{c}", 1, 0.0, "S") for c in range(1, n_cust + 1)],
-            "c_custkey bigint, c_name string, c_nationkey int, "
-            "c_acctbal double, c_mktsegment string",
-        )
-        _write(
-            spark, tmp, "orders",
-            [
-                (
-                    o,
-                    data.draw(st.integers(1, n_cust), label=f"cust{o}"),
-                    "O", 1.0, _TS,
-                    data.draw(st.sampled_from(prios), label=f"p{o}"),
-                )
-                for o in range(1, n_ord + 1)
-            ],
-            "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
-            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
-        )
+        _gen_custdist(spark, tmp, data)
         _check(spark, tmp, "r36_custdist")
 
     @given(data=st.data())
@@ -154,27 +221,7 @@ class TestRandomOracle:
     @settings(max_examples=8, deadline=None)
     def test_rolling_median_tie_values(self, spark, tmp_path_factory, data):
         tmp = tmp_path_factory.mktemp("rnd")
-        n_ev = data.draw(st.integers(1, 20))
-        n_users = data.draw(st.integers(1, 3))
-        vals = [1.25, 2.5, 2.5, 7.75]  # repeats force lerp-on-ties
-        _write(
-            spark, tmp, "events",
-            [
-                (
-                    i,
-                    _TS + datetime.timedelta(
-                        minutes=data.draw(st.integers(0, 5), label=f"m{i}")
-                    ),
-                    data.draw(st.integers(1, n_users), label=f"u{i}"),
-                    "purchase",
-                    data.draw(st.sampled_from(vals), label=f"v{i}"),
-                    "{}",
-                )
-                for i in range(1, n_ev + 1)
-            ],
-            "event_id bigint, ts timestamp, user_id bigint, "
-            "event_type string, value double, props string",
-        )
+        _gen_events_rolling(spark, tmp, data)
         _check(spark, tmp, "r44_rolling_median")
 
     @given(data=st.data())
@@ -198,3 +245,30 @@ class TestRandomOracle:
             "event_type string, value double, props string",
         )
         _check(spark, tmp, "r46_equidepth_bins")
+
+
+class TestRandomOracleRouted:
+    """VERDICT r12 item 5: a REDUCED randomized sweep re-run with the
+    full routing posture (SPARK_GRAFT_HYBRID=1 + SPARK_GRAFT_BUCKETED=1)
+    so hypothesis shapes also flow through the layout twins — the
+    bucketed customer/orders tables for the join-shaped query and the
+    hybrid (day-partitioned, user-bucketed) events twin for the
+    window-shaped one. Layout must NEVER change answers; any twin
+    write/register/read schema drift on an adversarial micro-shape
+    fails the DuckDB comparison here."""
+
+    @given(data=st.data())
+    @settings(max_examples=4, deadline=None)
+    def test_custdist_random_routed(self, spark, tmp_path_factory, data):
+        tmp = tmp_path_factory.mktemp("rnd_routed")
+        _gen_custdist(spark, tmp, data)
+        _check_routed(spark, tmp, "r36_custdist", tmp_path_factory.mktemp("wh"))
+
+    @given(data=st.data())
+    @settings(max_examples=4, deadline=None)
+    def test_rolling_median_routed(self, spark, tmp_path_factory, data):
+        tmp = tmp_path_factory.mktemp("rnd_routed")
+        _gen_events_rolling(spark, tmp, data)
+        _check_routed(
+            spark, tmp, "r44_rolling_median", tmp_path_factory.mktemp("wh")
+        )
