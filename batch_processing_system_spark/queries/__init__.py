@@ -81,6 +81,7 @@ def _ensure_loaded() -> None:
         layout,
         tokenize,
         tpch,
+        streamrows,
     )
 
     _LOADED = True

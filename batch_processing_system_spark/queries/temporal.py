@@ -79,9 +79,10 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q95_funnel",
-    """
+# Shared with r77_streaming_funnel (queries/streamrows.py): the
+# streaming replay twin is pinned to the SAME oracle, so batch ≡
+# stream is checked by the driver gate itself, not just by pytest.
+Q95_SQL = """
     WITH e AS (
         SELECT user_id, event_type,
                CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
@@ -102,7 +103,12 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN s1 USING (user_id)
     LEFT JOIN s2 USING (user_id)
     LEFT JOIN s3 USING (user_id)
-    """,
+    """
+
+
+@register(
+    "q95_funnel",
+    Q95_SQL,
     doc="Funnel analysis — per user, the deepest stage of the ordered "
     "sequence signup → view → purchase with STRICTLY increasing "
     "timestamps, plus each stage's entry time. Spark side: ONE shuffle "

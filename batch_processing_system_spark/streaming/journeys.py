@@ -177,6 +177,37 @@ def run_funnel_stream(
     )
 
 
+def run_funnel_stream_parquet(
+    spark: SparkSession,
+    wire_dir: str,
+    store_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int = 1,
+):
+    """The funnel replay over a PARQUET wire log (the catalog-facing
+    twin of ``run_funnel_stream``, VERDICT r12 item 6): availableNow +
+    ``maxFilesPerTrigger`` splits the replay into one micro-batch per
+    wire file, processed oldest-mtime-first (Spark's file source
+    ordering), so per-user state genuinely crosses micro-batch
+    boundaries when the wire files are time-ordered waves. Parquet
+    rather than JSONL because the wire log is written by Spark itself
+    (no driver-side collect at any scale) and the schema rides along."""
+    src = (
+        spark.readStream.schema(EVENT_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(wire_dir)
+    )
+    out = funnel_stateful(src)
+    return (
+        out.writeStream.foreachBatch(
+            lambda df, _id: _upsert_store(df, store_path)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )
+
+
 def run_retention_stream(
     spark: SparkSession, incoming_dir: str, store_path: str, checkpoint: str
 ):

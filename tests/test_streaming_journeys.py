@@ -161,3 +161,48 @@ class TestRetentionStream:
             for r in q96_retention(spark, SF_SMALL).collect()
         }
         assert got == want
+
+
+class TestStreamingFunnelCatalogRow:
+    """VERDICT r12 item 6: the catalog-visible streaming leg
+    (queries/streamrows.py r77) — wire-log contract + batch≡stream."""
+
+    def test_wire_log_waves_are_time_ordered_ranges(self, spark):
+        import os
+
+        from batch_processing_system_spark.queries.streamrows import (
+            _N_WAVES,
+            _wire_log,
+        )
+
+        wire = _wire_log(spark, SF_SMALL)
+        files = sorted(f for f in os.listdir(wire) if f.endswith(".parquet"))
+        assert len(files) == _N_WAVES
+        mtimes = [os.stat(os.path.join(wire, f)).st_mtime for f in files]
+        assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
+        # contiguous es ranges in file-name order (the replay's
+        # correctness precondition: range concat == global order)
+        prev_max = None
+        n_total = 0
+        for f in files:
+            pdf = spark.read.parquet(os.path.join(wire, f)).toPandas()
+            n_total += len(pdf)
+            if len(pdf) == 0:
+                continue
+            if prev_max is not None:
+                assert pdf["es"].min() >= prev_max
+            prev_max = pdf["es"].max()
+        assert n_total == spark.read.parquet(
+            f"{SF_SMALL}/events.parquet"
+        ).count()
+
+    def test_r77_equals_batch_q95(self, spark):
+        from batch_processing_system_spark.queries.streamrows import (
+            r77_streaming_funnel,
+        )
+
+        got = {
+            tuple(r) for r in r77_streaming_funnel(spark, SF_SMALL).collect()
+        }
+        want = {tuple(r) for r in q95_funnel(spark, SF_SMALL).collect()}
+        assert got == want and got
