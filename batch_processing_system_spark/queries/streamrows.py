@@ -54,6 +54,13 @@ _N_WAVES = 3
 #: as the bucketed/partitioned layout twins)
 _WIRE_CACHE: dict[str, str] = {}
 
+#: previous invocation's store/checkpoint dir, reclaimed on the next
+#: call: a long-lived process running the catalog repeatedly (bench
+#: passes, oracle sweeps) must not grow /tmp by one run dir per
+#: invocation — only the most recent result stays on disk, since the
+#: returned DataFrame lazily reads from it
+_LAST_RUN_DIR: list[str] = []
+
 
 def _wire_log(spark: SparkSession, sf_dir: str) -> str:
     key = os.path.abspath(sf_dir)
@@ -112,8 +119,13 @@ def _wire_log(spark: SparkSession, sf_dir: str) -> str:
 def r77_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.journeys import run_funnel_stream_parquet
 
+    import shutil
+
     wire_dir = _wire_log(spark, sf_dir)
+    while _LAST_RUN_DIR:
+        shutil.rmtree(_LAST_RUN_DIR.pop(), ignore_errors=True)
     run_dir = tempfile.mkdtemp(prefix="r77_run_")
+    _LAST_RUN_DIR.append(run_dir)
     store = os.path.join(run_dir, "store")
     ckpt = os.path.join(run_dir, "ckpt")
     q = run_funnel_stream_parquet(spark, wire_dir, store, ckpt).start()

@@ -206,3 +206,28 @@ class TestStreamingFunnelCatalogRow:
         }
         want = {tuple(r) for r in q95_funnel(spark, SF_SMALL).collect()}
         assert got == want and got
+
+    def test_r77_repeat_invocations_reclaim_run_dirs(self, spark):
+        """A long-lived process (bench passes, oracle sweeps) calls r77
+        repeatedly; each call must reclaim the previous store/ckpt dir
+        so /tmp usage stays O(1), and the fresh result stays correct."""
+        import os
+
+        from batch_processing_system_spark.queries import streamrows
+        from batch_processing_system_spark.queries.streamrows import (
+            r77_streaming_funnel,
+        )
+
+        first = {
+            tuple(r) for r in r77_streaming_funnel(spark, SF_SMALL).collect()
+        }
+        assert len(streamrows._LAST_RUN_DIR) == 1
+        prev_dir = streamrows._LAST_RUN_DIR[0]
+        assert os.path.isdir(prev_dir)
+        second = {
+            tuple(r) for r in r77_streaming_funnel(spark, SF_SMALL).collect()
+        }
+        assert second == first and second
+        assert not os.path.exists(prev_dir)
+        assert len(streamrows._LAST_RUN_DIR) == 1
+        assert streamrows._LAST_RUN_DIR[0] != prev_dir
