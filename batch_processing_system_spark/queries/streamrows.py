@@ -35,8 +35,11 @@ operator rows T1/T2/X-journeys in SURVEY §2.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,6 +52,18 @@ from .temporal import Q95_SQL
 #: cross-batch story real while bounding per-batch stream overhead
 _N_WAVES = 3
 
+#: below this total wire size the replay folds all waves into ONE
+#: availableNow micro-batch (VERDICT r13 item 3): each extra
+#: micro-batch costs ~1.5 s of fixed machinery (measured at sf0.1 —
+#: state-store commit + offsets/WAL + per-batch job scheduling), which
+#: dominates toy-SF oracle/bench sweeps. Correctness is unchanged
+#: either way — the automaton is a fold over the per-user sorted
+#:  sequence and each batch sorts within itself (single batch = the
+#: global sort) — and the cross-batch contract stays pinned by the
+#: forced 3-batch pytest replay. At production SF the wire log blows
+#: past this threshold and the replay is genuinely multi-batch.
+_SINGLE_BATCH_MAX_WIRE_BYTES = 64 << 20
+
 #: wire logs are written once per (process, sf_dir) — the export is
 #: ingest infrastructure, not per-query work (same amortization rule
 #: as the bucketed/partitioned layout twins)
@@ -58,8 +73,49 @@ _WIRE_CACHE: dict[str, str] = {}
 #: call: a long-lived process running the catalog repeatedly (bench
 #: passes, oracle sweeps) must not grow /tmp by one run dir per
 #: invocation — only the most recent result stays on disk, since the
-#: returned DataFrame lazily reads from it
+#: returned DataFrame lazily reads from it. VALIDITY WINDOW (ADVICE
+#: r13): a returned streaming-row DataFrame is therefore readable
+#: only until the NEXT streaming-row invocation in the same process;
+#: all in-repo consumers (bench, check_oracle, the driver gate)
+#: collect before re-invoking.
 _LAST_RUN_DIR: list[str] = []
+
+
+def _cleanup_stream_dirs() -> None:
+    """Reclaim every wire log and the last run dir of this process
+    (VERDICT r13 item 6): wire logs are per-process infrastructure —
+    without this, each process of a multi-process catalog sweep left
+    one ~events-sized dir behind forever. Registered atexit at import;
+    also callable directly (tests pin the O(1)-dirs contract)."""
+    while _LAST_RUN_DIR:
+        shutil.rmtree(_LAST_RUN_DIR.pop(), ignore_errors=True)
+    for d in list(_WIRE_CACHE.values()):
+        shutil.rmtree(d, ignore_errors=True)
+    _WIRE_CACHE.clear()
+
+
+atexit.register(_cleanup_stream_dirs)
+
+
+@contextmanager
+def _stream_shuffle_partitions(spark: SparkSession, n: int):
+    """Temporarily lower spark.sql.shuffle.partitions around a
+    streaming .start(): the stateful operator creates one state-store
+    instance per shuffle partition PER MICRO-BATCH (checkpoint files
+    included), so 32 partitions x 3 waves = 96 store commits of fixed
+    overhead at toy SF (VERDICT r13 item 3). The partition count is
+    resolved at query start, so the narrow window around start() +
+    awaitTermination() is sufficient; catalog execution is sequential,
+    so nothing else plans under the lowered value. On a real cluster
+    the state partition count is sized to executor count x state
+    volume — this helper is the toy-SF analogue of that sizing, not a
+    correctness knob (tests pin upsert ≡ append ≡ batch)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _wire_log(spark: SparkSession, sf_dir: str) -> str:
@@ -117,9 +173,10 @@ def _wire_log(spark: SparkSession, sf_dir: str) -> str:
     "serving table — the exact §3 polling-pipeline shape. Tier-1.",
 )
 def r77_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.journeys import run_funnel_stream_parquet
-
-    import shutil
+    """NOTE (ADVICE r13): the returned DataFrame lazily reads the run
+    dir of THIS invocation, which is reclaimed at the start of the
+    next streaming-row call — collect before re-invoking."""
+    from ..streaming.journeys import latest_per_key, run_funnel_stream_parquet
 
     wire_dir = _wire_log(spark, sf_dir)
     while _LAST_RUN_DIR:
@@ -128,8 +185,23 @@ def r77_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     _LAST_RUN_DIR.append(run_dir)
     store = os.path.join(run_dir, "store")
     ckpt = os.path.join(run_dir, "ckpt")
-    q = run_funnel_stream_parquet(spark, wire_dir, store, ckpt).start()
-    q.awaitTermination()
-    return spark.read.parquet(store).select(
+    # append-log store + 8 state partitions (VERDICT r13 item 3): one
+    # batch-sized append per wave instead of a store rewrite, and a
+    # quarter of the per-batch state-store commits; small wire logs
+    # additionally fold into a single availableNow batch (see
+    # _SINGLE_BATCH_MAX_WIRE_BYTES)
+    wire_bytes = sum(
+        os.path.getsize(os.path.join(wire_dir, f))
+        for f in os.listdir(wire_dir)
+        if f.endswith(".parquet")
+    )
+    mft = _N_WAVES if wire_bytes <= _SINGLE_BATCH_MAX_WIRE_BYTES else 1
+    with _stream_shuffle_partitions(spark, 8):
+        q = run_funnel_stream_parquet(
+            spark, wire_dir, store, ckpt,
+            max_files_per_trigger=mft, store_mode="append",
+        ).start()
+        q.awaitTermination()
+    return latest_per_key(spark.read.parquet(store)).select(
         "user_id", "stage", "t1", "t2", "t3"
     )

@@ -177,12 +177,41 @@ def run_funnel_stream(
     )
 
 
+def _append_store(updates: DataFrame, store_path: str, batch_id: int) -> None:
+    """Append this batch's updates to a batch-sequenced decision log;
+    the current state of a user is their row with the highest
+    ``batch_seq`` (``latest_per_key`` resolves it). At 100 TB this is
+    the MORE scalable serving shape than the read-antijoin-rewrite
+    upsert: each micro-batch does one append write sized by the batch
+    (never by the store), and compaction into a latest-wins serving
+    table becomes an independent, batched MERGE — the same
+    log-then-compact split every large ingest pipeline makes."""
+    updates.withColumn("batch_seq", F.lit(batch_id)).write.mode(
+        "append"
+    ).parquet(store_path)
+
+
+def latest_per_key(store: DataFrame, key: str = "user_id") -> DataFrame:
+    """Resolve an ``_append_store`` log to its latest-wins view: the
+    highest-``batch_seq`` row per key (ties impossible — update mode
+    emits at most one row per key per batch)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.col("batch_seq").desc())
+    return (
+        store.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "batch_seq")
+    )
+
+
 def run_funnel_stream_parquet(
     spark: SparkSession,
     wire_dir: str,
     store_path: str,
     checkpoint: str,
     max_files_per_trigger: int = 1,
+    store_mode: str = "upsert",
 ):
     """The funnel replay over a PARQUET wire log (the catalog-facing
     twin of ``run_funnel_stream``, VERDICT r12 item 6): availableNow +
@@ -191,17 +220,26 @@ def run_funnel_stream_parquet(
     ordering), so per-user state genuinely crosses micro-batch
     boundaries when the wire files are time-ordered waves. Parquet
     rather than JSONL because the wire log is written by Spark itself
-    (no driver-side collect at any scale) and the schema rides along."""
+    (no driver-side collect at any scale) and the schema rides along.
+
+    ``store_mode``: ``"upsert"`` rewrites the store per batch (the
+    in-place serving-table shape); ``"append"`` writes a
+    batch-sequenced log resolved by ``latest_per_key`` — one
+    batch-sized write per micro-batch instead of a store-sized
+    rewrite (VERDICT r13 item 3; the two modes are equivalence-tested
+    in tests/test_streamrows.py)."""
     src = (
         spark.readStream.schema(EVENT_WIRE_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(wire_dir)
     )
     out = funnel_stateful(src)
+    if store_mode == "append":
+        sink = lambda df, bid: _append_store(df, store_path, bid)  # noqa: E731
+    else:
+        sink = lambda df, _id: _upsert_store(df, store_path)  # noqa: E731
     return (
-        out.writeStream.foreachBatch(
-            lambda df, _id: _upsert_store(df, store_path)
-        )
+        out.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
         .trigger(availableNow=True)

@@ -181,20 +181,29 @@ def main() -> None:
     )
     with open(os.path.join(art_dir, art_name), "w") as f:
         json.dump(payload, f, indent=1)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "n": len(per_query),
-                "failed": sum(1 for v in per_query.values() if v < 0),
-                "sf": payload["sf"],
-                "repeat": n_repeat,
-                "per_query": f".benchmarks/{art_name}",
-            }
-        )
-    )
+    # VERDICT r13 item 9: the driver records only the LAST ~2000 chars
+    # of stdout, so the round artifact was carrying a file path instead
+    # of numbers. A full {name: sec} map (~5 KB at 175 queries) cannot
+    # fit, but a values-only array in sorted-name order (~1.3 KB at
+    # 2 dp) can — names are recoverable as sorted(REGISTRY) of the
+    # same commit, and the full named map stays in .benchmarks/. The
+    # array is dropped (never truncated) if the line would outgrow the
+    # window, so the tail always ends in parseable JSON either way.
+    tail_line = {
+        "metric": "catalog_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "n": len(per_query),
+        "failed": sum(1 for v in per_query.values() if v < 0),
+        "sf": payload["sf"],
+        "repeat": n_repeat,
+        "per_query": f".benchmarks/{art_name}",
+        "pq_order": "sorted_names",
+        "pq": [round(per_query[k], 2) for k in sorted(per_query)],
+    }
+    if len(json.dumps(tail_line)) > 1900:
+        del tail_line["pq"], tail_line["pq_order"]
+    print(json.dumps(tail_line))
 
 
 if __name__ == "__main__":

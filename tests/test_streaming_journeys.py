@@ -231,3 +231,64 @@ class TestStreamingFunnelCatalogRow:
         assert not os.path.exists(prev_dir)
         assert len(streamrows._LAST_RUN_DIR) == 1
         assert streamrows._LAST_RUN_DIR[0] != prev_dir
+
+
+class TestAppendStoreMode:
+    """VERDICT r13 item 3: the append-log store (one batch-sized write
+    per micro-batch) must resolve to exactly the upsert store's rows,
+    and r77 must leave session conf untouched."""
+
+    def test_append_mode_equals_upsert_mode(self, spark, tmp_path):
+        from batch_processing_system_spark.queries.streamrows import _wire_log
+        from batch_processing_system_spark.streaming.journeys import (
+            latest_per_key,
+            run_funnel_stream_parquet,
+        )
+
+        wire = _wire_log(spark, SF_SMALL)
+        up_store = str(tmp_path / "up_store")
+        ap_store = str(tmp_path / "ap_store")
+        run_funnel_stream_parquet(
+            spark, wire, up_store, str(tmp_path / "up_ckpt")
+        ).start().awaitTermination()
+        run_funnel_stream_parquet(
+            spark, wire, ap_store, str(tmp_path / "ap_ckpt"),
+            store_mode="append",
+        ).start().awaitTermination()
+        cols = ["user_id", "stage", "t1", "t2", "t3"]
+        up = {tuple(r) for r in spark.read.parquet(up_store).select(*cols).collect()}
+        ap = {
+            tuple(r)
+            for r in latest_per_key(spark.read.parquet(ap_store))
+            .select(*cols)
+            .collect()
+        }
+        assert ap == up and ap
+        # the append log keeps every batch's emission (>= resolved rows)
+        assert spark.read.parquet(ap_store).count() >= len(ap)
+
+    def test_r77_restores_shuffle_partitions(self, spark):
+        from batch_processing_system_spark.queries.streamrows import (
+            r77_streaming_funnel,
+        )
+
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        r77_streaming_funnel(spark, SF_SMALL).collect()
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    def test_wire_dirs_reclaimed_by_process_cleanup(self, spark):
+        """VERDICT r13 item 6: _cleanup_stream_dirs (registered atexit)
+        reclaims every wire log AND the last run dir, so repeated
+        multi-process catalog runs keep /tmp O(1)."""
+        import os
+
+        from batch_processing_system_spark.queries import streamrows
+
+        streamrows.r77_streaming_funnel(spark, SF_SMALL).collect()
+        wire_dirs = list(streamrows._WIRE_CACHE.values())
+        run_dirs = list(streamrows._LAST_RUN_DIR)
+        assert wire_dirs and run_dirs
+        assert all(os.path.isdir(d) for d in wire_dirs + run_dirs)
+        streamrows._cleanup_stream_dirs()
+        assert not streamrows._WIRE_CACHE and not streamrows._LAST_RUN_DIR
+        assert not any(os.path.exists(d) for d in wire_dirs + run_dirs)

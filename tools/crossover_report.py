@@ -23,31 +23,84 @@ in their own source (helpers load for them) are reported as a third
 
 from __future__ import annotations
 
+import ast
 import inspect
 import json
-import re
 import statistics
 import sys
+import textwrap
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+from batch_processing_system_spark.engine.io import BUCKET_SPECS
 from batch_processing_system_spark.queries import REGISTRY, _ensure_loaded
 
-#: tables a routed leg serves from a layout twin (engine/io.py:
-#: BUCKET_SPECS + the events hybrid/partitioned routes)
-ROUTED_TABLES = {"customer", "orders", "lineitem", "events", "documents"}
+#: tables a routed leg serves from a layout twin, DERIVED from the
+#: routing source of truth (ADVICE r13: a hand-copied set silently
+#: drifts when a new table is bucketed, contaminating the control
+#: group and biasing the corrected ratio toward 1.0). events is
+#: additionally served by the hybrid/partitioned twins even when it
+#: is not in BUCKET_SPECS.
+ROUTED_TABLES = set(BUCKET_SPECS) | {"events"}
 
-_NAME_RE = re.compile(
-    r'"(region|nation|customer|supplier|part|orders|lineitem|events|'
-    r'documents|embeddings)"'
-)
+_TABLE_NAMES = {
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+}
 
 
 def _tables_of(fn) -> set[str]:
+    """Tables a query function loads, from load_table/load_tables CALL
+    SITES only (ADVICE r13: inspect.getsource includes the @register
+    decorator's oracle SQL and doc strings, so a regex over the whole
+    source would let a quoted table name in prose flip a control query
+    into the routed group). AST-based so both house idioms resolve:
+    string-literal arguments and the ``load_table(spark, sf_dir, t)
+    for t in ("a", "b")`` comprehension."""
     try:
-        return set(_NAME_RE.findall(inspect.getsource(fn)))
-    except (OSError, TypeError):
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+    except (OSError, TypeError, SyntaxError):
         return set()
+    names: set[str] = set()
+    var_args: set[str] = set()
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Name)
+            and node.func.id in ("load_table", "load_tables")
+        ):
+            for a in node.args:
+                if isinstance(a, ast.Constant) and isinstance(a.value, str):
+                    if a.value in _TABLE_NAMES:
+                        names.add(a.value)
+                elif isinstance(a, ast.Name):
+                    var_args.add(a.id)
+    if var_args:
+        for node in ast.walk(tree):
+            iters = []
+            if isinstance(node, (ast.GeneratorExp, ast.ListComp)):
+                iters = [
+                    g.iter
+                    for g in node.generators
+                    if isinstance(g.target, ast.Name)
+                    and g.target.id in var_args
+                ]
+            elif isinstance(node, ast.For):
+                if (
+                    isinstance(node.target, ast.Name)
+                    and node.target.id in var_args
+                ):
+                    iters = [node.iter]
+            for it in iters:
+                if isinstance(it, (ast.Tuple, ast.List)):
+                    for e in it.elts:
+                        if (
+                            isinstance(e, ast.Constant)
+                            and isinstance(e.value, str)
+                            and e.value in _TABLE_NAMES
+                        ):
+                            names.add(e.value)
+    return names
 
 
 def _group(name: str) -> str:
@@ -108,6 +161,18 @@ def main() -> None:
         "groups": {g: _stats(ns, qp, qr) for g, ns in groups.items()},
         "control_queries": sorted(groups["control"]),
     }
+    # ADVICE r13: enforce the bench_merge parity invariant here rather
+    # than in prose — min-of-4 vs min-of-2 systematically favors the
+    # deeper leg, so an asymmetric comparison must carry an explicit
+    # warning field in the output.
+    if len(out["plain_passes"]) != len(out["routed_passes"]):
+        out["asymmetric_passes"] = {
+            "plain": len(out["plain_passes"]),
+            "routed": len(out["routed_passes"]),
+            "warning": "min-of-N asymmetry systematically favors the "
+            "leg with more passes; treat ratios as bounds, not "
+            "estimates",
+        }
     rg, cg = out["groups"]["routed"], out["groups"]["control"]
     if rg and cg:
         out["corrected"] = {
