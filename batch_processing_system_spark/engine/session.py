@@ -100,4 +100,26 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
+    # --- Delta Lake lane (VERDICT r13 item 5): when delta-spark is
+    # installed (NOT this container — no pip/network), wire its SQL
+    # extension + catalog and jars so pipeline/deltastore.py's MERGE
+    # INTO lane actually executes (the package alone isn't enough —
+    # without these configs every .format("delta") read/write fails).
+    # configure_spark_with_delta_pip adds the matching Maven
+    # coordinates; the ivy cache makes it offline-stable after the
+    # first resolution. The recipe lives in the verify skill.
+    try:
+        from delta import configure_spark_with_delta_pip
+
+        builder = configure_spark_with_delta_pip(
+            builder.config(
+                "spark.sql.extensions",
+                "io.delta.sql.DeltaSparkSessionExtension",
+            ).config(
+                "spark.sql.catalog.spark_catalog",
+                "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+            )
+        )
+    except ImportError:
+        pass
     return builder.getOrCreate()
