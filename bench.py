@@ -136,6 +136,18 @@ def main() -> None:
     routed = _bucketed_routing_on()
     partitioned = _partitioned_routing_on()
     hybrid = _hybrid_routing_on()
+    # Config introspection goes through the JVM; if the driver died
+    # mid-pass (observed once at sf3: RPC endpoint gone, every later
+    # query ConnectionRefused), these calls raise and the artifact —
+    # with all the per-query data gathered before the crash — was
+    # lost. Record what the JVM can still tell us, else placeholders;
+    # the per-query numbers are driver-side and survive regardless.
+    def _safe(fn, fallback="jvm-unreachable"):
+        try:
+            return fn()
+        except Exception:
+            return fallback
+
     conf = spark.conf
     payload = {
         "metric": "catalog_wall_clock",
@@ -144,12 +156,16 @@ def main() -> None:
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "config": {
-            "spark_version": spark.version,
-            "master": spark.sparkContext.master,
-            "shuffle_partitions": conf.get("spark.sql.shuffle.partitions"),
-            "aqe": conf.get("spark.sql.adaptive.enabled"),
-            "cbo": conf.get("spark.sql.cbo.enabled"),
-            "broadcast_threshold": conf.get("spark.sql.autoBroadcastJoinThreshold"),
+            "spark_version": _safe(lambda: spark.version),
+            "master": _safe(lambda: spark.sparkContext.master),
+            "shuffle_partitions": _safe(
+                lambda: conf.get("spark.sql.shuffle.partitions")
+            ),
+            "aqe": _safe(lambda: conf.get("spark.sql.adaptive.enabled")),
+            "cbo": _safe(lambda: conf.get("spark.sql.cbo.enabled")),
+            "broadcast_threshold": _safe(
+                lambda: conf.get("spark.sql.autoBroadcastJoinThreshold")
+            ),
             # ADVICE r10: a routed run must be distinguishable from (and
             # never clobber) the plain-path artifact — both layout flags
             "bucketed_routing": routed,
@@ -204,6 +220,12 @@ def main() -> None:
     if len(json.dumps(tail_line)) > 1900:
         del tail_line["pq"], tail_line["pq_order"]
     print(json.dumps(tail_line))
+    # Loud exit on any failed query: with the config introspection now
+    # crash-safe, a dead-JVM pass would otherwise exit 0 and a retry
+    # harness (tools/run_sf3_campaign_part2.sh) would count it as a
+    # valid leg pass.
+    if tail_line["failed"]:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

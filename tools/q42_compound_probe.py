@@ -1,0 +1,160 @@
+"""q42 banding-headroom probe (VERDICT r13 item 7).
+
+SCALE.md §Round-12 measured q42's MinHashLSH candidate enumeration AT
+its quadratic bound (sf3→sf10 exponent 1.90 vs the ≤2 contract) and
+named the mechanism: the synthetic corpus's fixed 31-word vocabulary
+bounds the shingle domain, so single-hash band buckets grow linearly
+with corpus size and bucket-mate enumeration grows quadratically.
+This probe measures the standard mitigation — COMPOUND BANDS (r
+minhash rows per band, bucket key = the r-tuple) — against the stock
+r=1 path on the same corpus, requiring IDENTICAL verified output:
+
+  r=1, b=16  (stock q42): per-pair candidate prob per band = J;
+             miss-all probability (1-J)^16 = 4.3e-7 at J=0.6.
+  r=2, b=32: candidate prob J² per band (background pairs at J≈0.2
+             collide 5x less per band); miss (1-J²)^32 = 6.3e-7.
+  r=3, b=64: candidate prob J³; miss (1-J³)^64 = 1.7e-7.
+
+All three verify candidates with the same _verify_jaccard_pairs, so
+output equality is checked directly; what changes is candidate count
+and wall time. Usage:
+
+    python tools/q42_compound_probe.py [--sf /root/repo/.localdata/sf3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import random
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import functions as F
+
+from batch_processing_system_spark.engine.io import load_table
+from batch_processing_system_spark.engine.session import get_spark
+from batch_processing_system_spark.queries.similarity import (
+    SEED,
+    _shingles,
+    _verify_jaccard_pairs,
+)
+
+
+def compound_candidates(sh, n_bands: int, band_rows: int):
+    """(da, db) candidate pairs from compound MinHash bands: per band,
+    the bucket key is the tuple of ``band_rows`` independent seeded
+    affine minhashes over murmur3 shingle hashes (the pure-expression
+    family streaming/neardup.py introduced in round 14). One shuffle
+    for the per-doc mins, one self-join on (band, key-tuple)."""
+    rnd = random.Random(SEED)
+    p = (1 << 31) - 1
+    coeffs = [
+        (rnd.randrange(1, 1 << 29), rnd.randrange(0, 1 << 29))
+        for _ in range(n_bands * band_rows)
+    ]
+    x = F.hash("shingle").cast("long").bitwiseAND(F.lit(0x7FFFFFFF))
+    hs = sh.select("doc_id", x.alias("x"))
+    mins = hs.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(p)).alias(f"h{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+    bands = mins.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        *[
+                            F.col(f"h{i * band_rows + r}").alias(f"r{r}")
+                            for r in range(band_rows)
+                        ]
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+
+
+def stock_candidates(spark, docs, sh):
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    feats = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("tokens"))
+    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 16)
+    vecs = tf.transform(feats)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=16, seed=SEED
+    )
+    pairs = lsh.fit(vecs).approxSimilarityJoin(vecs, vecs, 0.45, distCol="d")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("da"),
+            F.col("datasetB.doc_id").alias("db"),
+        )
+        .distinct()
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/repo/.localdata/sf3")
+    ap.add_argument("--repeat", type=int, default=2)
+    args = ap.parse_args()
+    spark = get_spark("q42-compound-probe")
+    docs = load_table(spark, args.sf, "documents")
+    sh = _shingles(docs, n=5).localCheckpoint(eager=True)
+
+    legs = [
+        ("stock_r1_b16", lambda: stock_candidates(spark, docs, sh)),
+        ("compound_r2_b32", lambda: compound_candidates(sh, 32, 2)),
+        ("compound_r3_b64", lambda: compound_candidates(sh, 64, 3)),
+    ]
+    results = {}
+    verified_sets = {}
+    for name, build in legs:
+        best = None
+        for _ in range(max(1, args.repeat)):
+            t0 = time.time()
+            cand = build()
+            n_cand = cand.count()
+            t_cand = time.time() - t0
+            t0 = time.time()
+            ver = _verify_jaccard_pairs(cand, sh)
+            pairs = {(r["doc_id_a"], r["doc_id_b"]) for r in ver.collect()}
+            t_ver = time.time() - t0
+            tot = t_cand + t_ver
+            if best is None or tot < best["total_s"]:
+                best = {
+                    "candidates": n_cand,
+                    "verified": len(pairs),
+                    "cand_s": round(t_cand, 2),
+                    "verify_s": round(t_ver, 2),
+                    "total_s": round(tot, 2),
+                }
+            verified_sets[name] = pairs
+        results[name] = best
+    base = verified_sets["stock_r1_b16"]
+    for name, pairs in verified_sets.items():
+        results[name]["output_equal_to_stock"] = pairs == base
+    print(json.dumps({"sf_dir": args.sf, "legs": results}, indent=2))
+
+
+if __name__ == "__main__":
+    main()
