@@ -100,26 +100,31 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
-    # --- Delta Lake lane (VERDICT r13 item 5): when delta-spark is
-    # installed (NOT this container — no pip/network), wire its SQL
-    # extension + catalog and jars so pipeline/deltastore.py's MERGE
-    # INTO lane actually executes (the package alone isn't enough —
-    # without these configs every .format("delta") read/write fails).
-    # configure_spark_with_delta_pip adds the matching Maven
-    # coordinates; the ivy cache makes it offline-stable after the
-    # first resolution. The recipe lives in the verify skill.
-    try:
-        from delta import configure_spark_with_delta_pip
+    # --- Delta Lake lane (VERDICT r13 item 5; gated per ADVICE r14):
+    # when delta-spark is installed (NOT this container — no
+    # pip/network) AND the user opts in with SPARK_DELTA=1, wire its
+    # SQL extension + catalog and jars so pipeline/deltastore.py's
+    # MERGE INTO lane actually executes (the package alone isn't
+    # enough — without these configs every .format("delta") read/write
+    # fails). The env flag is the blast-radius fence: on an offline
+    # host with delta-spark installed but a cold ivy cache, Maven
+    # resolution inside configure_spark_with_delta_pip would fail/hang
+    # getOrCreate for EVERY session, not just the Delta lane — opt-in
+    # keeps a broken delta install from taking down unrelated queries.
+    # The recipe lives in the verify skill.
+    if os.environ.get("SPARK_DELTA") == "1":
+        try:
+            from delta import configure_spark_with_delta_pip
 
-        builder = configure_spark_with_delta_pip(
-            builder.config(
-                "spark.sql.extensions",
-                "io.delta.sql.DeltaSparkSessionExtension",
-            ).config(
-                "spark.sql.catalog.spark_catalog",
-                "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+            builder = configure_spark_with_delta_pip(
+                builder.config(
+                    "spark.sql.extensions",
+                    "io.delta.sql.DeltaSparkSessionExtension",
+                ).config(
+                    "spark.sql.catalog.spark_catalog",
+                    "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+                )
             )
-        )
-    except ImportError:
-        pass
+        except ImportError:
+            pass
     return builder.getOrCreate()

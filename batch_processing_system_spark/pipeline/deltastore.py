@@ -39,6 +39,15 @@ from .schemas import status_field, status_values
 
 
 def delta_available() -> bool:
+    """The lane is live only when BOTH hold: ``delta-spark`` imports
+    AND the ``SPARK_DELTA=1`` opt-in flag is set (ADVICE r14: the flag
+    gates engine/session.py's extension wiring, so without it the
+    session can't run MERGE INTO even if the package imports — and a
+    half-broken delta install can't take down unrelated sessions)."""
+    import os
+
+    if os.environ.get("SPARK_DELTA") != "1":
+        return False
     try:
         import delta  # noqa: F401
 
@@ -51,7 +60,9 @@ def require_delta() -> None:
     if not delta_available():
         raise NotImplementedError(
             "deltastore: the 'delta-spark' package (and its jars) are "
-            "not installed in this environment; the commitstore backend "
+            "not installed in this environment, or the SPARK_DELTA=1 "
+            "opt-in flag is unset (it gates the session extension "
+            "wiring in engine/session.py); the commitstore backend "
             "(pipeline/commitstore.py) is the system of record here"
         )
 

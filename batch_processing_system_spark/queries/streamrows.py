@@ -72,12 +72,10 @@ _WIRE_CACHE: dict[str, str] = {}
 #: previous invocation's store/checkpoint dir, reclaimed on the next
 #: call: a long-lived process running the catalog repeatedly (bench
 #: passes, oracle sweeps) must not grow /tmp by one run dir per
-#: invocation — only the most recent result stays on disk, since the
-#: returned DataFrame lazily reads from it. VALIDITY WINDOW (ADVICE
-#: r13): a returned streaming-row DataFrame is therefore readable
-#: only until the NEXT streaming-row invocation in the same process;
-#: all in-repo consumers (bench, check_oracle, the driver gate)
-#: collect before re-invoking.
+#: invocation. Returned DataFrames are eagerly localCheckpoint-ed
+#: (ADVICE r14), so reclaiming the run dir cannot invalidate a result
+#: a caller still holds — the old collect-before-re-invoking validity
+#: window is gone.
 _LAST_RUN_DIR: list[str] = []
 
 
@@ -173,9 +171,9 @@ def _wire_log(spark: SparkSession, sf_dir: str) -> str:
     "serving table — the exact §3 polling-pipeline shape. Tier-1.",
 )
 def r77_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOTE (ADVICE r13): the returned DataFrame lazily reads the run
-    dir of THIS invocation, which is reclaimed at the start of the
-    next streaming-row call — collect before re-invoking."""
+    """The returned DataFrame is eagerly localCheckpoint-ed (ADVICE
+    r14), so it stays readable even after the next streaming-row call
+    reclaims this invocation's run dir."""
     from ..streaming.journeys import latest_per_key, run_funnel_stream_parquet
 
     wire_dir = _wire_log(spark, sf_dir)
@@ -202,8 +200,14 @@ def r77_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_files_per_trigger=mft, store_mode="append",
         ).start()
         q.awaitTermination()
-    return latest_per_key(spark.read.parquet(store)).select(
-        "user_id", "stage", "t1", "t2", "t3"
+    # eager materialization (ADVICE r14): the resolved store is
+    # user-count-sized; checkpointing it detaches the returned
+    # DataFrame from the run dir reclaimed by the next streaming-row
+    # invocation
+    return (
+        latest_per_key(spark.read.parquet(store))
+        .select("user_id", "stage", "t1", "t2", "t3")
+        .localCheckpoint(eager=True)
     )
 
 
@@ -295,7 +299,7 @@ LEFT JOIN kept_ids k ON k.doc_id = d.doc_id
     doc="Streaming near-dup dedup AT INGEST executed through the "
     "driver gate (VERDICT r13 item 2 — the X2c twin promoted from "
     "pytest-only to catalog row, following the r77 wire-log pattern): "
-    "documents are replayed as an _N_WAVES-file doc_id-ordered parquet "
+    "documents are replayed as an _N_DOC_WAVES-file doc_id-ordered parquet "
     "wire log through readStream → foreachBatch(neardup_batch) — "
     "MinHash band store + kept-corpus store as the cross-batch dedup "
     "memory (streaming/neardup.py) — and the accumulated decision log "
@@ -320,9 +324,9 @@ LEFT JOIN kept_ids k ON k.doc_id = d.doc_id
     "stores become the serving tables the ingest MERGEs into. Tier-1.",
 )
 def r78_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOTE (ADVICE r13): the returned DataFrame lazily reads the run
-    dir of THIS invocation, which is reclaimed at the start of the
-    next streaming-row call — collect before re-invoking."""
+    """The returned DataFrame is eagerly localCheckpoint-ed (ADVICE
+    r14), so it stays readable even after the next streaming-row call
+    reclaims this invocation's run dir."""
     from ..streaming.neardup import INCOMING_DOC_SCHEMA, neardup_batch
 
     wire_dir = _doc_wire_log(spark, sf_dir)
@@ -340,9 +344,28 @@ def r78_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch_df.sparkSession, batch_df, corpus, bands
         ).write.mode("append").parquet(decisions)
 
+    # single-batch fold below the wire threshold (VERDICT r14 item 1,
+    # the r77 treatment): each extra micro-batch here costs ~3-4 s of
+    # candidate/verify machinery at toy SF. Correctness is unchanged —
+    # the within-batch resolution IS the global greedy walk when the
+    # whole doc_id-ordered wire arrives as one batch — and the
+    # cross-batch band-store contract stays pinned by the forced
+    # multi-wave pytest replay (tests/test_streaming_neardup.py). At
+    # production SF the wire blows past the threshold and the replay is
+    # genuinely multi-batch.
+    wire_bytes = sum(
+        os.path.getsize(os.path.join(wire_dir, f))
+        for f in os.listdir(wire_dir)
+        if f.endswith(".parquet")
+    )
+    mft = (
+        _N_DOC_WAVES
+        if wire_bytes <= _SINGLE_BATCH_MAX_WIRE_BYTES
+        else 1
+    )
     src = (
         spark.readStream.schema(INCOMING_DOC_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", mft)
         .parquet(wire_dir)
     )
     # 8 shuffle partitions, same rationale as r77 (measured: per-batch
@@ -356,4 +379,175 @@ def r78_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return spark.read.parquet(decisions).select("doc_id", "kept", "dup_of")
+    # eager materialization (ADVICE r14): the decision log is
+    # output-sized; checkpointing it detaches the returned DataFrame
+    # from the run dir, so a caller holding two results across
+    # re-invocations no longer reads freed storage
+    return (
+        spark.read.parquet(decisions)
+        .select("doc_id", "kept", "dup_of")
+        .localCheckpoint(eager=True)
+    )
+
+
+#: r79 oracle — only DETERMINISTIC sketch facts are hash-checked (the
+#: q35 discipline: emit values the theory pins exactly, plus
+#: bound-audit booleans the theory guarantees TRUE):
+#:   * 'type' facet: 5 distinct event_types <= k=16, so no MG cut ever
+#:     fires (map side or merge) and est IS the exact count — DuckDB
+#:     reproduces it with GROUP BY.
+#:   * 'user' facet: est values are sketch-/batching-dependent, so the
+#:     row reduces to (total N, all-bounds-hold boolean): est<=true,
+#:     true<=est+err for tracked keys; true<=err for untracked keys;
+#:     err*(k+1)<=N; n==N — each guaranteed by Misra-Gries, each
+#:     CHECKED against exact batch counts before the boolean is
+#:     emitted, so a sketch bug hash-mismatches the oracle's TRUE.
+R79_HH_SQL = """
+SELECT 'type' AS facet, event_type AS key, COUNT(*) AS val, TRUE AS ok
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'user' AS facet, '_bounds' AS key, COUNT(*) AS val, TRUE AS ok
+FROM events
+"""
+
+
+@register(
+    "r79_streaming_heavyhitters",
+    R79_HH_SQL,
+    doc="Streaming heavy hitters through the driver gate (VERDICT r14 "
+    "item 3 — X2e promoted from pytest-only to catalog row, the last "
+    "SURVEY §2 component without oracle visibility): the events wire "
+    "log (r77's, shared) is replayed through readStream → mapInPandas "
+    "per-partition Misra-Gries pre-summaries → applyInPandasWithState "
+    "global merge — ONE stream pass, one O(k) sketch per facet "
+    "(event_type and user_id), shuffle volume O(partitions x k) per "
+    "batch, never O(events) (streaming/heavyhitters.py). Tier-1 via "
+    "the q35 trick: the hash-checked output is the sketch facts theory "
+    "pins exactly — the event_type facet's est values (5 distinct keys "
+    "<= k=16 means no MG cut ever fires, so est IS the exact count, "
+    "err = 0) and, for the compressive user_id facet (1500 keys into "
+    "k=16 counters), a bounds-audit boolean computed by joining the "
+    "final sketch against exact batch counts: est<=true<=est+err for "
+    "tracked keys, true<=err for untracked, err*(k+1)<=N, n==N. Any "
+    "violation of the MG guarantee emits FALSE and hash-mismatches "
+    "the oracle. Cross-batch state is real (per-facet state store "
+    "rows carried across micro-batches; the pytest twin forces a "
+    "3-wave replay and asserts the same bounds per wave). At 100 TB: "
+    "this is the top-k dashboard topology — map-side summaries are "
+    "mergeable (Agarwal et al., PODS 2012), the global merge point "
+    "sees O(partitions x k) rows per batch, and state is O(k).",
+)
+def r79_streaming_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The returned DataFrame is eagerly localCheckpoint-ed (ADVICE
+    r14), so it stays readable even after the next streaming-row call
+    reclaims this invocation's run dir."""
+    from ..streaming.heavyhitters import DEFAULT_K, heavy_hitters_faceted
+    from ..streaming.journeys import EVENT_WIRE_SCHEMA
+
+    k = DEFAULT_K
+    wire_dir = _wire_log(spark, sf_dir)
+    while _LAST_RUN_DIR:
+        shutil.rmtree(_LAST_RUN_DIR.pop(), ignore_errors=True)
+    run_dir = tempfile.mkdtemp(prefix="r79_run_")
+    _LAST_RUN_DIR.append(run_dir)
+    store = os.path.join(run_dir, "store")
+    ckpt = os.path.join(run_dir, "ckpt")
+
+    # same single-batch fold rule as r77/r78: extra micro-batches are
+    # pure fixed machinery at toy SF; the multi-wave contract is pinned
+    # by the pytest twin
+    wire_bytes = sum(
+        os.path.getsize(os.path.join(wire_dir, f))
+        for f in os.listdir(wire_dir)
+        if f.endswith(".parquet")
+    )
+    mft = _N_WAVES if wire_bytes <= _SINGLE_BATCH_MAX_WIRE_BYTES else 1
+    src = (
+        spark.readStream.schema(EVENT_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", mft)
+        .parquet(wire_dir)
+    )
+    out = heavy_hitters_faceted(
+        src, facets={"type": "event_type", "user": "user_id"}, k=k
+    )
+
+    def _replace(df: DataFrame, _id: int) -> None:
+        snap = df.localCheckpoint(eager=True)
+        if snap.count() > 0:
+            snap.write.mode("overwrite").parquet(store)
+
+    with _stream_shuffle_partitions(spark, 8):
+        q = (
+            out.writeStream.foreachBatch(_replace)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    sketch = spark.read.parquet(store)
+    wire = spark.read.parquet(wire_dir)
+    n_total = wire.count()
+
+    # --- 'type' facet: est is exact (no cut can fire at <= k distinct
+    # keys), so emit it as the value and hash it against GROUP BY ----
+    exact_type = wire.groupBy(
+        F.col("event_type").alias("key")
+    ).agg(F.count("*").alias("true_cnt"))
+    type_rows = (
+        sketch.filter(F.col("facet") == "type")
+        .join(exact_type, "key")
+        .select(
+            F.lit("type").alias("facet"),
+            "key",
+            F.col("est").alias("val"),
+            (
+                (F.col("est") <= F.col("true_cnt"))
+                & (F.col("true_cnt") <= F.col("est") + F.col("err"))
+            ).alias("ok"),
+        )
+    )
+
+    # --- 'user' facet: audit EVERY MG guarantee against exact counts,
+    # reduce to one boolean --------------------------------------------
+    exact_user = wire.groupBy(
+        F.col("user_id").cast("string").alias("key")
+    ).agg(F.count("*").alias("true_cnt"))
+    su = sketch.filter(F.col("facet") == "user")
+    # bounded-collect: the sketch is <= k rows by construction — err/n
+    # are facet-level constants, so this scalar read is O(k), not
+    # O(data)
+    srow = su.agg(F.max("err").alias("err"), F.max("n").alias("n")).collect()[0]
+    err_val, n_seen = int(srow["err"] or 0), int(srow["n"] or 0)
+    audit = (
+        exact_user.join(su, "key", "left_outer")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("est").isNotNull(),  # tracked
+                    (F.col("est") <= F.col("true_cnt"))
+                    & (F.col("true_cnt") <= F.col("est") + F.col("err")),
+                ).otherwise(F.lit(True))
+            ).alias("tracked_ok"),
+            # untracked keys must sit under the accumulated error mass
+            F.min(
+                F.when(
+                    F.col("est").isNull(),
+                    F.col("true_cnt") <= F.lit(err_val),
+                ).otherwise(F.lit(True))
+            ).alias("untracked_ok"),
+        )
+        .select(
+            F.lit("user").alias("facet"),
+            F.lit("_bounds").alias("key"),
+            F.lit(n_total).alias("val"),
+            (
+                F.col("tracked_ok")
+                & F.col("untracked_ok")
+                & F.lit(err_val * (k + 1) <= n_total)
+                & F.lit(n_seen == n_total)
+            ).alias("ok"),
+        )
+    )
+    return type_rows.unionByName(audit).localCheckpoint(eager=True)

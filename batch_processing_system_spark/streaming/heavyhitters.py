@@ -126,6 +126,101 @@ def heavy_hitters_stateful(
     )
 
 
+#: faceted variant (r79 catalog row): one stream, one sketch PER FACET
+#: (e.g. event_type and user_id simultaneously) — the stateful merge
+#: groups on the facet name instead of a constant, so each facet gets
+#: its own O(k) state while the map-side summarize still makes one
+#: pass over the batch. Keys are strings so any column sketches.
+_FACET_SUMMARY_SCHEMA = "facet string, key string, w bigint, kind int"
+_FACET_STATE_SCHEMA = (
+    "keys array<string>, counts array<bigint>, err bigint, n bigint"
+)
+_FACET_OUT_SCHEMA = "facet string, key string, est bigint, err bigint, n bigint"
+
+
+def summarize_facet_batches(
+    pdfs: Iterator[pd.DataFrame], facets: dict[str, str], k: int = DEFAULT_K
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage of the faceted sketch: per Arrow batch, an
+    exact value_counts per facet column reduced to k-entry MG summaries
+    plus per-facet (err, n) bookkeeping rows. Shuffle volume per batch
+    stays O(partitions x k x |facets|)."""
+    for pdf in pdfs:
+        rows = []
+        for facet, col in facets.items():
+            weighted = {
+                str(key): int(w)
+                for key, w in pdf[col].value_counts().items()
+            }
+            kept, cut = _mg_reduce(weighted, k)
+            rows += [
+                {"facet": facet, "key": key, "w": w, "kind": 0}
+                for key, w in kept.items()
+            ]
+            rows.append({"facet": facet, "key": "", "w": cut, "kind": 1})
+            rows.append(
+                {"facet": facet, "key": "", "w": int(len(pdf)), "kind": 2}
+            )
+        yield pd.DataFrame(rows, columns=["facet", "key", "w", "kind"])
+
+
+def _merge_facet_summaries(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState, k: int = DEFAULT_K
+) -> Iterator[pd.DataFrame]:
+    facet = key[0]
+    if state.exists:
+        keys, counts, err, n = state.get
+        merged = {str(a): int(b) for a, b in zip(keys, counts)}
+        err, n = int(err), int(n)
+    else:
+        merged, err, n = {}, 0, 0
+    for pdf in pdfs:
+        for key_, w, kind in zip(pdf["key"], pdf["w"], pdf["kind"]):
+            w = int(w)
+            if kind == 1:
+                err += w
+            elif kind == 2:
+                n += w
+            else:
+                key_ = str(key_)
+                merged[key_] = merged.get(key_, 0) + w
+    merged, cut = _mg_reduce(merged, k)
+    err += cut
+    ordered = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
+    state.update(([a for a, _ in ordered], [b for _, b in ordered], err, n))
+    yield pd.DataFrame(
+        [
+            {"facet": facet, "key": a, "est": b, "err": err, "n": n}
+            for a, b in ordered
+        ],
+        columns=["facet", "key", "est", "err", "n"],
+    )
+
+
+def heavy_hitters_faceted(
+    stream_df: DataFrame, facets: dict[str, str], k: int = DEFAULT_K
+) -> DataFrame:
+    """Per-facet MG sketches over one stream pass. ``facets`` maps a
+    facet name to the column it sketches; returns (facet, key, est,
+    err, n) rows each micro-batch — the same est <= true <= est + err
+    / err <= N/(k+1) guarantees as the single-key sketch, per facet.
+    When a facet's true distinct-key count never exceeds k, no cut
+    ever fires anywhere (map side or merge), so est is EXACT and
+    err = 0 — the property r79's tier-1 hash check rides on for the
+    event_type facet."""
+    summaries = stream_df.select(*dict.fromkeys(facets.values())).mapInPandas(
+        lambda it: summarize_facet_batches(it, facets, k),
+        schema=_FACET_SUMMARY_SCHEMA,
+    )
+    return summaries.groupBy("facet").applyInPandasWithState(
+        lambda key, pdfs, state: _merge_facet_summaries(key, pdfs, state, k),
+        outputStructType=_FACET_OUT_SCHEMA,
+        stateStructType=_FACET_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_heavy_hitters_stream(
     spark, incoming_dir: str, store_path: str, checkpoint: str
 ):

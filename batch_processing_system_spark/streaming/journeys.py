@@ -227,7 +227,7 @@ def run_funnel_stream_parquet(
     batch-sequenced log resolved by ``latest_per_key`` — one
     batch-sized write per micro-batch instead of a store-sized
     rewrite (VERDICT r13 item 3; the two modes are equivalence-tested
-    in tests/test_streamrows.py)."""
+    in tests/test_streaming_journeys.py)."""
     src = (
         spark.readStream.schema(EVENT_WIRE_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)

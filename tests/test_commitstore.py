@@ -66,7 +66,8 @@ class TestBackendMatrix:
             if not delta_available():
                 pytest.skip(
                     "delta-spark not installed in this container "
-                    "(no pip/network); commitstore is system of record"
+                    "(no pip/network) or SPARK_DELTA=1 opt-in unset; "
+                    "commitstore is system of record"
                 )
         return request.param
 
@@ -98,6 +99,28 @@ class TestBackendMatrix:
             pytest.skip("delta present: the matrix leg above covers it")
         with pytest.raises(NotImplementedError, match="delta-spark"):
             ds.init_store(_docs(spark), str(tmp_path / "d"))
+
+    def test_delta_skip_reason_is_import_gate_not_breakage(self, monkeypatch):
+        """VERDICT r14 item 6: pin WHY the Delta leg skips in this
+        container — the gate is (a) the SPARK_DELTA=1 opt-in flag and
+        (b) the package import, not a broken code path. With the flag
+        forced on, availability is decided purely by ``import delta``:
+        if the import raises here, unavailable; if some future
+        container ships the wheel, the same gate flips to available
+        with no code change."""
+        from batch_processing_system_spark.pipeline import deltastore as ds
+
+        monkeypatch.delenv("SPARK_DELTA", raising=False)
+        assert ds.delta_available() is False  # flag unset => gated off
+
+        monkeypatch.setenv("SPARK_DELTA", "1")
+        try:
+            import delta  # noqa: F401
+
+            importable = True
+        except Exception:
+            importable = False
+        assert ds.delta_available() is importable
 
 
 class TestCommitStoreBasics:

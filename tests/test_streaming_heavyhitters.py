@@ -164,3 +164,111 @@ class TestHeavyHitterStream:
         top = got[0]
         assert top["key"] == 777
         assert top["est"] <= true_hot <= top["est"] + top["err"]
+
+
+class TestFacetedHeavyHitters:
+    """The r79 catalog row's engine (heavy_hitters_faceted): one stream
+    pass, one MG sketch per facet, FORCED 3-wave replay
+    (maxFilesPerTrigger=1) so the cross-batch state-carry contract is
+    pinned even though the catalog row folds small wires into one
+    batch. Asserts the exactness claim the tier-1 hash check rides on
+    (<= k distinct keys => no cut => est exact, err = 0) and the full
+    MG bound set per wave against exact prefix counts."""
+
+    def test_three_wave_replay_bounds_and_exactness(
+        self, spark, tmp_path, hh_waves
+    ):
+        from pyspark.sql import types as T  # noqa: N812
+
+        from batch_processing_system_spark.streaming.heavyhitters import (
+            heavy_hitters_faceted,
+        )
+        from batch_processing_system_spark.streaming.journeys import (
+            EVENT_WIRE_SCHEMA,
+        )
+
+        waves, _true, n = hh_waves
+        incoming = tmp_path / "incoming"
+        incoming.mkdir()
+        import os
+        import time
+
+        for i, w in enumerate(waves):
+            shutil.copy(w, incoming)
+            # ascending mtimes => deterministic wave order
+            os.utime(
+                incoming / os.path.basename(w),
+                (1_000_000_000 + 10 * i,) * 2,
+            )
+        # exact cumulative prefix counts per wave, per facet
+        prefix_user: list[dict] = []
+        prefix_type: list[dict] = []
+        prefix_n: list[int] = []
+        cu: dict = {}
+        ct: dict = {}
+        seen = 0
+        for w in waves:
+            for line in open(w):
+                if not line.strip():
+                    continue
+                r = json.loads(line)
+                cu[str(r["user_id"])] = cu.get(str(r["user_id"]), 0) + 1
+                ct[r["event_type"]] = ct.get(r["event_type"], 0) + 1
+                seen += 1
+            prefix_user.append(dict(cu))
+            prefix_type.append(dict(ct))
+            prefix_n.append(seen)
+
+        src = (
+            spark.readStream.schema(EVENT_WIRE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(incoming))
+        )
+        out = heavy_hitters_faceted(
+            src, facets={"type": "event_type", "user": "user_id"}
+        )
+        snaps_dir = str(tmp_path / "snaps")
+
+        def _snap(df, batch_id):
+            df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(snaps_dir)
+
+        q = (
+            out.writeStream.foreachBatch(_snap)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        snaps = spark.read.parquet(snaps_dir).collect()
+        by_batch: dict[int, dict[str, dict]] = {}
+        for r in snaps:
+            by_batch.setdefault(int(r["batch_id"]), {}).setdefault(
+                r["facet"], {}
+            )[r["key"]] = (int(r["est"]), int(r["err"]), int(r["n"]))
+        assert sorted(by_batch) == [0, 1, 2]  # genuinely three batches
+
+        for wave_i in sorted(by_batch):
+            facets = by_batch[wave_i]
+            nw = prefix_n[wave_i]
+            # --- type facet: EXACT at every wave (5 keys <= k=16) ---
+            trows = facets["type"]
+            _, terr, tn = next(iter(trows.values()))
+            assert tn == nw and terr == 0
+            assert {k_: v[0] for k_, v in trows.items()} == prefix_type[
+                wave_i
+            ]
+            # --- user facet: full MG bound set vs exact prefix ------
+            urows = facets["user"]
+            assert len(urows) <= DEFAULT_K
+            _, uerr, un = next(iter(urows.values()))
+            assert un == nw
+            assert uerr <= nw // (DEFAULT_K + 1)
+            for key, t in prefix_user[wave_i].items():
+                est = urows[key][0] if key in urows else 0
+                assert est <= t <= est + uerr, (wave_i, key, est, t, uerr)
+            for key, t in prefix_user[wave_i].items():
+                if t > nw // (DEFAULT_K + 1):
+                    assert key in urows

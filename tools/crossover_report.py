@@ -64,11 +64,16 @@ def _tables_of(fn) -> set[str]:
     names: set[str] = set()
     var_args: set[str] = set()
     for node in ast.walk(tree):
-        if (
-            isinstance(node, ast.Call)
-            and isinstance(node.func, ast.Name)
-            and node.func.id in ("load_table", "load_tables")
-        ):
+        callee = None
+        if isinstance(node, ast.Call):
+            if isinstance(node.func, ast.Name):
+                callee = node.func.id
+            elif isinstance(node.func, ast.Attribute):
+                # ADVICE r14: attribute-qualified call sites
+                # (io.load_table(...)) must classify too, or a routed
+                # query silently lands in the control group
+                callee = node.func.attr
+        if callee in ("load_table", "load_tables"):
             for a in node.args:
                 if isinstance(a, ast.Constant) and isinstance(a.value, str):
                     if a.value in _TABLE_NAMES:

@@ -85,6 +85,7 @@ _fam(
 _fam("r18_triangles r23_pagerank r52_bfs_hops", "Graph analytics")
 _fam("r77_streaming_funnel", "Streaming replay")
 _fam("r78_streaming_neardup", "Streaming replay")
+_fam("r79_streaming_heavyhitters", "Streaming replay")
 _fam(
     "r01_gapfill r02_fuzzy_match r03_profile r04_scd2 r06_attribution "
     "r07_bloom_semi r10_weighted_sample r16_market_basket "
