@@ -112,23 +112,55 @@ def stock_candidates(spark, docs, sh):
     )
 
 
+_ALL_LEGS = ("stock_r1_b16", "compound_r2_b32", "compound_r3_b64")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/repo/.localdata/sf3")
     ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument(
+        "--legs",
+        default=",".join(_ALL_LEGS),
+        help="comma-separated subset of legs to run in THIS process — "
+        "at sf10 the stock leg's quadratic candidate enumeration can "
+        "stall the JVM into heartbeat-reaping territory, so run each "
+        "leg in its own process and compare via --pairs-dir (r15)",
+    )
+    ap.add_argument(
+        "--pairs-dir",
+        default=None,
+        help="persist each leg's verified pair set to "
+        "PAIRS_DIR/<leg>.json and, when every leg's dump is present, "
+        "emit the cross-leg output-equality verdict",
+    )
     args = ap.parse_args()
-    spark = get_spark("q42-compound-probe")
+    # stall-tolerant timeouts for the quadratic stock leg at sf≥10:
+    # a full-heap GC pause beyond 120 s would otherwise get the local
+    # executor heartbeat-reaped mid-probe (observed at sf10, r15)
+    spark = get_spark(
+        "q42-compound-probe",
+        extra_conf={
+            "spark.network.timeout": "600s",
+            "spark.executor.heartbeatInterval": "120s",
+        },
+    )
     docs = load_table(spark, args.sf, "documents")
     sh = _shingles(docs, n=5).localCheckpoint(eager=True)
 
-    legs = [
-        ("stock_r1_b16", lambda: stock_candidates(spark, docs, sh)),
-        ("compound_r2_b32", lambda: compound_candidates(sh, 32, 2)),
-        ("compound_r3_b64", lambda: compound_candidates(sh, 64, 3)),
-    ]
+    builders = {
+        "stock_r1_b16": lambda: stock_candidates(spark, docs, sh),
+        "compound_r2_b32": lambda: compound_candidates(sh, 32, 2),
+        "compound_r3_b64": lambda: compound_candidates(sh, 64, 3),
+    }
+    wanted = [n.strip() for n in args.legs.split(",") if n.strip()]
+    unknown = set(wanted) - set(builders)
+    if unknown:
+        sys.exit(f"unknown legs: {sorted(unknown)}")
     results = {}
     verified_sets = {}
-    for name, build in legs:
+    for name in wanted:
+        build = builders[name]
         best = None
         for _ in range(max(1, args.repeat)):
             t0 = time.time()
@@ -137,6 +169,7 @@ def main() -> None:
             t_cand = time.time() - t0
             t0 = time.time()
             ver = _verify_jaccard_pairs(cand, sh)
+            # bounded-collect: verified near-dup pairs are output-sized
             pairs = {(r["doc_id_a"], r["doc_id_b"]) for r in ver.collect()}
             t_ver = time.time() - t0
             tot = t_cand + t_ver
@@ -150,9 +183,37 @@ def main() -> None:
                 }
             verified_sets[name] = pairs
         results[name] = best
-    base = verified_sets["stock_r1_b16"]
-    for name, pairs in verified_sets.items():
-        results[name]["output_equal_to_stock"] = pairs == base
+
+    if args.pairs_dir:
+        import os
+
+        os.makedirs(args.pairs_dir, exist_ok=True)
+        for name, pairs in verified_sets.items():
+            with open(os.path.join(args.pairs_dir, f"{name}.json"), "w") as f:
+                json.dump(sorted(list(p) for p in pairs), f)
+        dumps = {}
+        for name in _ALL_LEGS:
+            p = os.path.join(args.pairs_dir, f"{name}.json")
+            if os.path.exists(p):
+                with open(p) as f:
+                    dumps[name] = {tuple(x) for x in json.load(f)}
+        if "stock_r1_b16" in dumps:
+            for name, pairs in dumps.items():
+                if name in results:
+                    results[name]["output_equal_to_stock"] = (
+                        pairs == dumps["stock_r1_b16"]
+                    )
+                else:
+                    results[name] = {
+                        "from_dump": True,
+                        "verified": len(pairs),
+                        "output_equal_to_stock": pairs
+                        == dumps["stock_r1_b16"],
+                    }
+    elif "stock_r1_b16" in verified_sets:
+        base = verified_sets["stock_r1_b16"]
+        for name, pairs in verified_sets.items():
+            results[name]["output_equal_to_stock"] = pairs == base
     print(json.dumps({"sf_dir": args.sf, "legs": results}, indent=2))
 
 
