@@ -112,6 +112,12 @@ def get_spark(
     # getOrCreate for EVERY session, not just the Delta lane — opt-in
     # keeps a broken delta install from taking down unrelated queries.
     # The recipe lives in the verify skill.
+    # CONSTRAINT (ADVICE r15): getOrCreate reuses any existing session
+    # as-is, so SPARK_DELTA=1 must be set BEFORE the first session is
+    # created in the process — a pre-flag session has no Delta
+    # extension, and deltastore.delta_available() now cross-checks the
+    # active session's spark.sql.extensions to fail with the clear
+    # require_delta message instead of a catalog error.
     if os.environ.get("SPARK_DELTA") == "1":
         try:
             from delta import configure_spark_with_delta_pip

@@ -39,21 +39,29 @@ from .schemas import status_field, status_values
 
 
 def delta_available() -> bool:
-    """The lane is live only when BOTH hold: ``delta-spark`` imports
-    AND the ``SPARK_DELTA=1`` opt-in flag is set (ADVICE r14: the flag
-    gates engine/session.py's extension wiring, so without it the
+    """The lane is live only when ALL THREE hold: ``delta-spark``
+    imports, the ``SPARK_DELTA=1`` opt-in flag is set (ADVICE r14: the
+    flag gates engine/session.py's extension wiring, so without it the
     session can't run MERGE INTO even if the package imports — and a
-    half-broken delta install can't take down unrelated sessions)."""
+    half-broken delta install can't take down unrelated sessions), and
+    — when a session is already active — that session was actually
+    built WITH the Delta extension (ADVICE r15: getOrCreate returns a
+    pre-flag session as-is, so flag+import alone would report the lane
+    live while MERGE INTO fails with a confusing catalog error; set
+    SPARK_DELTA=1 before the first SparkSession is created)."""
     import os
 
     if os.environ.get("SPARK_DELTA") != "1":
         return False
     try:
         import delta  # noqa: F401
-
-        return True
     except Exception:
         return False
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        exts = active.conf.get("spark.sql.extensions", "") or ""
+        return "DeltaSparkSessionExtension" in exts
+    return True
 
 
 def require_delta() -> None:
@@ -62,8 +70,11 @@ def require_delta() -> None:
             "deltastore: the 'delta-spark' package (and its jars) are "
             "not installed in this environment, or the SPARK_DELTA=1 "
             "opt-in flag is unset (it gates the session extension "
-            "wiring in engine/session.py); the commitstore backend "
-            "(pipeline/commitstore.py) is the system of record here"
+            "wiring in engine/session.py — it must be set BEFORE the "
+            "first SparkSession is created, or the active session "
+            "lacks the Delta extension and this check fails); the "
+            "commitstore backend (pipeline/commitstore.py) is the "
+            "system of record here"
         )
 
 

@@ -314,6 +314,190 @@ def q84_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.unionByName(global_row)
 
 
+# --- r82: mergeable quantile sketch (per-group → union rollup) ---------
+
+#: rank-error budget of the r82 quantile summary. Per group the
+#: sparsification stride is k = max(1, ⌊ε·n/2⌋), so a per-group
+#: quantile estimate errs by < k ≤ ε·n/2 ranks and the MERGED (rollup)
+#: estimate by < Σ k_g ≤ ε·N/2 — both audited below at the looser ε·n
+#: bracket, which a correct sketch satisfies DETERMINISTICALLY (no
+#: randomness anywhere) and a weight/stride bug flips.
+_R82_EPS = 0.01
+_R82_QS = (0.25, 0.5, 0.75)
+
+
+def _r82_estimates(sketch: DataFrame, by_key: bool) -> DataFrame:
+    """Quantile estimates from a (event_type, v, w) weighted sample
+    table: cumulative-weight rank walk, est(q) = the first sample whose
+    cumulative weight reaches q·n. Window over SKETCH-sized data (~2/ε
+    rows per group), never the raw table."""
+    from pyspark.sql.window import Window
+
+    part = ["event_type"] if by_key else []
+    w_ord = (
+        Window.partitionBy(*part)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*part)
+    sk = sketch.withColumn("cum", F.sum("w").over(w_ord)).withColumn(
+        "n", F.sum("w").over(w_all)
+    )
+    keys = ["event_type"] if by_key else []
+    return sk.groupBy(*keys).agg(
+        *[
+            F.min(
+                F.when(F.col("cum") >= F.lit(q) * F.col("n"), F.col("v"))
+            ).alias(f"est_{int(q * 100)}")
+            for q in _R82_QS
+        ]
+    )
+
+
+@register(
+    "r82_quantile_sketch",
+    """
+    SELECT 'group' AS facet, event_type AS key,
+           CAST(COUNT(value) AS BIGINT) AS val, TRUE AS ok
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'global', '_rollup', CAST(COUNT(value) AS BIGINT), TRUE
+    FROM events
+    """,
+    doc="A6 mergeable QUANTILE sketch (VERDICT r15 item 8 — rounds out "
+    "the sketch family: HLL q82, bitmap q84, Misra-Gries r79, now "
+    "quantiles): a DETERMINISTIC uniform-sparsification summary — per "
+    "event_type, sort and keep every k-th value with weight k "
+    "(k = ⌊ε·n/2⌋, the compactor primitive under MRL/KLL), built by "
+    "applyInPandas; per-group quantiles answered by a cumulative-"
+    "weight walk over the SKETCH, and the GLOBAL quantiles by the "
+    "same walk over the plain UNION of the per-group sketches — the "
+    "rollup never re-touches the raw table, which is the mergeability "
+    "property that matters at 100 TB (per-partition/day summaries "
+    "roll up to any grain; Agarwal et al., PODS 2012). Guarantee: "
+    "est(q) has true rank in [q·n, q·n + ε·n/2) per group and "
+    "[q·N, q·N + ε·N/2) merged — no randomness, unlike KLL's coin "
+    "flips, so the audit is reproducible. Oracle via the q35/r79 "
+    "discipline: exact per-group counts as values plus bound-audit "
+    "booleans — count(value<est) ≤ q·n+ε·n AND count(value≤est) ≥ "
+    "q·n−ε·n for every (group, q) and for the merged rollup, each "
+    "CHECKED against exact ranks from the raw table; estimates come "
+    "from the exact-keys side via a left join so a sketch that drops "
+    "a group emits ok=FALSE rather than losing the row.",
+)
+def r82_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select("event_type", "value").where(F.col("value").isNotNull())
+
+    def _sparsify(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf["event_type"].iloc[0]
+        vals = np.sort(pdf["value"].to_numpy(dtype="float64"))
+        n = len(vals)
+        k = max(1, int(_R82_EPS * n / 2))
+        idx = np.arange(k - 1, n, k)
+        w = np.full(len(idx), k, dtype="int64")
+        rem = n - len(idx) * k
+        if rem > 0:
+            # tail block: close the summary with the max value so
+            # cumulative weight sums to exactly n
+            idx = np.append(idx, n - 1)
+            w = np.append(w, rem)
+        return pd.DataFrame({"event_type": key, "v": vals[idx], "w": w})
+
+    # shard within group so no single task ever materializes a whole
+    # group (the 100 TB posture — a hot event_type is unbounded): the
+    # union of disjoint-subset sketches carries the SAME bound (error
+    # Σ_shards k_s ≤ ε·n_g/2 because strides are per-subset), so
+    # sharding costs nothing but a ×_R82_SHARDS larger — still
+    # O(shards/ε), data-size-independent — summary
+    _R82_SHARDS = 8
+    sketch = (
+        ev.withColumn("shard", F.pmod(F.hash("value"), F.lit(_R82_SHARDS)))
+        .groupBy("event_type", "shard")
+        .applyInPandas(_sparsify, schema="event_type string, v double, w long")
+    )
+    # sketch feeds three consumers (group estimates, rollup estimates,
+    # and nothing else — both walks) and is ~2/ε rows per group: pin it
+    sketch = sketch.localCheckpoint(eager=True)
+
+    est_g = _r82_estimates(sketch, by_key=True)
+    est_all = _r82_estimates(sketch.drop("event_type"), by_key=False)
+
+    # --- audit per group: exact ranks vs estimates, one pass ---------
+    exact_g = ev.groupBy("event_type").agg(F.count("value").alias("n"))
+    jg = ev.join(F.broadcast(est_g), "event_type", "left")
+    audits_g = jg.groupBy("event_type").agg(
+        *[
+            s
+            for q in _R82_QS
+            for s in (
+                F.sum(
+                    (F.col("value") < F.col(f"est_{int(q * 100)}")).cast("long")
+                ).alias(f"lt_{int(q * 100)}"),
+                F.sum(
+                    (F.col("value") <= F.col(f"est_{int(q * 100)}")).cast("long")
+                ).alias(f"le_{int(q * 100)}"),
+            )
+        ],
+        F.max(F.col(f"est_{int(_R82_QS[0] * 100)}").isNull().cast("int")).alias(
+            "missing"
+        ),
+    )
+
+    def _ok(n_col):
+        cond = F.lit(True)
+        for q in _R82_QS:
+            tol = F.lit(_R82_EPS) * n_col
+            cond = (
+                cond
+                & (F.col(f"lt_{int(q * 100)}") <= F.lit(q) * n_col + tol)
+                & (F.col(f"le_{int(q * 100)}") >= F.lit(q) * n_col - tol)
+            )
+        return cond
+
+    group_rows = (
+        exact_g.join(audits_g, "event_type", "left")
+        .select(
+            F.lit("group").alias("facet"),
+            F.col("event_type").alias("key"),
+            F.col("n").cast("bigint").alias("val"),
+            F.when(
+                F.col("missing").isNull() | (F.col("missing") == 1), F.lit(False)
+            )
+            .otherwise(_ok(F.col("n")))
+            .alias("ok"),
+        )
+    )
+
+    # --- audit the rollup: merged-sketch estimates vs exact global ranks
+    ja = ev.crossJoin(F.broadcast(est_all))
+    audit_all = ja.agg(
+        F.count("value").alias("n"),
+        *[
+            s
+            for q in _R82_QS
+            for s in (
+                F.sum(
+                    (F.col("value") < F.col(f"est_{int(q * 100)}")).cast("long")
+                ).alias(f"lt_{int(q * 100)}"),
+                F.sum(
+                    (F.col("value") <= F.col(f"est_{int(q * 100)}")).cast("long")
+                ).alias(f"le_{int(q * 100)}"),
+            )
+        ],
+    )
+    global_row = audit_all.select(
+        F.lit("global").alias("facet"),
+        F.lit("_rollup").alias("key"),
+        F.col("n").cast("bigint").alias("val"),
+        _ok(F.col("n")).alias("ok"),
+    )
+    return group_rows.unionByName(global_row)
+
+
 @register(
     "q44",
     """

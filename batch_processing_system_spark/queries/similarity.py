@@ -92,6 +92,157 @@ def _verify_jaccard_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
     )
 
 
+def _minhash_band_table(sh: DataFrame, n_bands: int, band_rows: int) -> DataFrame:
+    """(doc_id, band, key) compound MinHash band rows: per band, the
+    bucket key is the struct of ``band_rows`` independent seeded affine
+    minhashes over murmur3 shingle hashes (the pure-expression family
+    streaming/neardup.py introduced in round 14 — JVM-side, no ML
+    pipeline fit). One shuffle (the per-doc mins)."""
+    import random
+
+    rnd = random.Random(SEED)
+    p = (1 << 31) - 1
+    coeffs = [
+        (rnd.randrange(1, 1 << 29), rnd.randrange(0, 1 << 29))
+        for _ in range(n_bands * band_rows)
+    ]
+    x = F.hash("shingle").cast("long").bitwiseAND(F.lit(0x7FFFFFFF))
+    hs = sh.select("doc_id", x.alias("x"))
+    mins = hs.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(p)).alias(f"h{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+    return mins.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        *[
+                            F.col(f"h{i * band_rows + r}").alias(f"r{r}")
+                            for r in range(band_rows)
+                        ]
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+
+
+def _band_self_join(bands: DataFrame) -> DataFrame:
+    """(da, db) distinct candidate pairs from a band table — the bucket
+    equi-join; shuffle keyed on (band, key), never O(n²) plan-side."""
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+
+
+def minhash_band_candidates(
+    sh: DataFrame, n_bands: int, band_rows: int
+) -> DataFrame:
+    """Compound-band MinHash candidate pairs (the q42 escape hatch,
+    measured output-identical to the stock path at sf3 AND sf10 —
+    SCALE.md §Round-15): per-pair candidate probability per band is
+    J^band_rows, miss-all probability (1−J^band_rows)^n_bands."""
+    return _band_self_join(_minhash_band_table(sh, n_bands, band_rows))
+
+
+#: auto-escalation ladder for SPARK_GRAFT_Q42_BANDS=auto — (r, b) with
+#: near-constant worst-case miss probability at J=0.6: r=1,b=16 →
+#: 4.3e-7; r=2,b=32 → 6.3e-7; r=3,b=64 → 1.7e-7. Escalate while the
+#: BUCKET-PRICED candidate estimate (Σ C(bucket,2), an O(band-rows)
+#: groupBy — no enumeration) exceeds _Q42_AUTO_CAND_PER_DOC × docs:
+#: on bounded-vocab corpora buckets saturate and r=1 candidates grow
+#: quadratically (sf3→sf10 exponent 1.92 measured), while r=3 is
+#: near-output-sized (exponent 1.28).
+_Q42_AUTO_LADDER = ((1, 16), (2, 32), (3, 64))
+_Q42_AUTO_CAND_PER_DOC = 64
+
+
+def _q42_candidates(spark: SparkSession, sh: DataFrame) -> DataFrame:
+    """Candidate generator behind the SPARK_GRAFT_Q42_BANDS knob
+    (VERDICT r15 item 5 — the sf10 probe's insurance policy as one
+    flag): unset/'stock' → the ML MinHashLSH path; 'R,B' → compound
+    bands at exactly that config; 'auto' → walk _Q42_AUTO_LADDER,
+    pricing each rung by bucket mass before enumerating."""
+    import os
+
+    cfg = os.environ.get("SPARK_GRAFT_Q42_BANDS", "").strip().lower()
+    if not cfg or cfg == "stock":
+        from pyspark.ml.feature import HashingTF, MinHashLSH
+
+        feats = sh.groupBy("doc_id").agg(
+            F.collect_list("shingle").alias("tokens")
+        )
+        tf = HashingTF(
+            inputCol="tokens", outputCol="features", numFeatures=1 << 16
+        )
+        vecs = tf.transform(feats)
+        # 16 tables: per-pair miss probability (1-s)^16 — 4.3e-7 at the
+        # s=0.6 threshold, 6.6e-12 at a typical near-dup s=0.8. Measured
+        # at sf0.1: identical pair set and wall-clock vs 6 tables (the
+        # candidate-dedup + verify stages dominate, not table count).
+        lsh = MinHashLSH(
+            inputCol="features",
+            outputCol="hashes",
+            numHashTables=16,
+            seed=SEED,
+        )
+        model = lsh.fit(vecs)
+        pairs = model.approxSimilarityJoin(
+            vecs, vecs, 0.45, distCol="jaccard_dist"
+        )
+        return (
+            pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+            .select(
+                F.col("datasetA.doc_id").alias("da"),
+                F.col("datasetB.doc_id").alias("db"),
+            )
+            .distinct()
+        )
+    if cfg == "auto":
+        # bounded-collect: one scalar per rung (docs count + Σ C(n,2)
+        # over buckets) — pricing is a groupBy-count, never enumeration
+        n_docs = sh.select("doc_id").distinct().count()
+        budget = _Q42_AUTO_CAND_PER_DOC * max(n_docs, 1)
+        for r, b in _Q42_AUTO_LADDER:
+            bands = _minhash_band_table(sh, b, r)
+            if (r, b) == _Q42_AUTO_LADDER[-1]:
+                return _band_self_join(bands)  # last rung: no pricing
+            est = (
+                bands.groupBy("band", "key")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(
+                    F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("c")
+                ).collect()[0]["c"]
+            )
+            if est is not None and est <= budget:
+                return _band_self_join(bands)
+        raise AssertionError("unreachable: ladder always returns")
+    try:
+        r_s, b_s = cfg.split(",")
+        r, b = int(r_s), int(b_s)
+    except ValueError:
+        raise ValueError(
+            "SPARK_GRAFT_Q42_BANDS must be unset, 'stock', 'auto', or "
+            f"'R,B' (rows-per-band, bands) — got {cfg!r}"
+        ) from None
+    if r < 1 or b < 1:
+        raise ValueError(f"SPARK_GRAFT_Q42_BANDS: R and B must be >= 1, got {cfg!r}")
+    return minhash_band_candidates(sh, b, r)
+
+
 @register(
     "q42",
     # oracle: same ground truth as the exact inverted-index twin (q46) —
@@ -114,32 +265,21 @@ def _verify_jaccard_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
     "exactly-at-threshold pairs the check is dataset-conditional, not "
     "unconditional; q46 is the deterministic twin. Measured recall "
     "here: 100% at sf0.01/sf0.1, and raising h from 6 to 16 was free "
-    "(candidate dedup dominates, not table count).",
+    "(candidate dedup dominates, not table count). BANDING KNOB "
+    "(VERDICT r15 item 5): SPARK_GRAFT_Q42_BANDS='R,B' swaps the "
+    "candidate stage for compound bands (R minhash rows per band, B "
+    "bands — miss (1−J^R)^B; '2,32' and '3,64' measured "
+    "output-identical to stock at sf3 AND sf10, with r=3 the exponent "
+    "escape on bucket-saturating bounded-vocab corpora: candidate "
+    "exponent 1.28 vs stock 1.92); 'auto' walks the (1,16)→(2,32)→"
+    "(3,64) ladder, pricing each rung by bucket mass (Σ C(bucket,2), "
+    "a groupBy — never enumeration) and escalating while the estimate "
+    "exceeds 64×docs. Verification is identical on every path.",
 )
 def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs, n=5)
-    feats = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("tokens"))
-    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 16)
-    vecs = tf.transform(feats)
-    # 16 tables: per-pair miss probability (1-s)^16 — 4.3e-7 at the
-    # s=0.6 threshold, 6.6e-12 at a typical near-dup s=0.8. Measured
-    # at sf0.1: identical pair set and wall-clock vs 6 tables (the
-    # candidate-dedup + verify stages dominate, not table count).
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=16, seed=SEED)
-    model = lsh.fit(vecs)
-    pairs = model.approxSimilarityJoin(vecs, vecs, 0.45, distCol="jaccard_dist")
-    cand = (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("da"),
-            F.col("datasetB.doc_id").alias("db"),
-        )
-        .distinct()
-    )
-    return _verify_jaccard_pairs(cand, sh)
+    return _verify_jaccard_pairs(_q42_candidates(spark, sh), sh)
 
 
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:

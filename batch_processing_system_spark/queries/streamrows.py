@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from ..engine.io import load_table
 from . import register
 from .temporal import Q95_SQL
+from .wrangling import R04_SCD2_SQL
 
 #: waves in the wire log = micro-batches in the replay; 3 keeps the
 #: cross-batch story real while bounding per-batch stream overhead
@@ -495,17 +496,25 @@ def r79_streaming_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_type = wire.groupBy(
         F.col("event_type").alias("key")
     ).agg(F.count("*").alias("true_cnt"))
+    # LEFT join from the SKETCH side (ADVICE r15): an inner join would
+    # silently drop a buggy sketch's phantom key (one absent from the
+    # wire) and still hash-match; with the left join a phantom key
+    # surfaces as a row with null true_cnt → ok=FALSE → the row count
+    # AND the hash both mismatch. A sketch that *drops* a wire key is
+    # caught either way (4 rows vs the oracle's 5).
     type_rows = (
         sketch.filter(F.col("facet") == "type")
-        .join(exact_type, "key")
+        .join(exact_type, "key", "left_outer")
         .select(
             F.lit("type").alias("facet"),
             "key",
             F.col("est").alias("val"),
-            (
+            F.when(F.col("true_cnt").isNull(), F.lit(False))
+            .otherwise(
                 (F.col("est") <= F.col("true_cnt"))
                 & (F.col("true_cnt") <= F.col("est") + F.col("err"))
-            ).alias("ok"),
+            )
+            .alias("ok"),
         )
     )
 
@@ -551,3 +560,322 @@ def r79_streaming_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return type_rows.unionByName(audit).localCheckpoint(eager=True)
+
+
+# --- r80: stream-stream join through the driver gate ------------------
+
+#: r80 request/result stream parameters: a request waits _SS_HORIZON
+#: seconds for its answer; both wires tolerate _SS_DELAY seconds of
+#: out-of-order arrival. The result-lag schedule (a pure function of
+#: event_id, so DuckDB reproduces it) plants all three outcomes:
+#: event_id % 6 == 5 → never answered; % 6 == 4 → answered 120 s past
+#: the horizon (expired); otherwise answered at 30+(event_id%4)*100 s,
+#: always inside the horizon.
+_SS_HORIZON = 600
+_SS_DELAY = 60
+_SS_N_WAVES = 2
+
+
+def _reqres_wire_logs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """events derived into TWO parquet wire logs — requests
+    (custom_id, req_ts, model) and results (custom_id, res_ts, status)
+    — each split into _SS_N_WAVES contiguous event-time ranges with
+    ascending mtimes, followed by a far-future watermark-pusher
+    sentinel file and a flush file per side. The sentinel advances each
+    side's watermark past every real row's horizon (the engine's global
+    watermark is the MIN across inputs, so BOTH sides need one); the
+    flush file exists because eviction — and with it outer-row emission
+    — applies at the start of the batch AFTER the one that advanced the
+    watermark. Same amortization/atexit-GC rules as the other wires."""
+    key = "reqres:" + os.path.abspath(sf_dir)
+    if key in _WIRE_CACHE:
+        root = _WIRE_CACHE[key]
+        return os.path.join(root, "reqs"), os.path.join(root, "ress")
+    root = tempfile.mkdtemp(prefix="r80_wire_")
+    evs = load_table(spark, sf_dir, "events")
+    # cast("timestamp") up front: un-annotated parquet reads as
+    # TIMESTAMP_NTZ, but the wire schemas (and withWatermark/unix_micros
+    # in the join) want LTZ TimestampType — with the session pinned to
+    # UTC the cast is the identity on the wall clock (engine/det.py)
+    ts_ltz = F.col("ts").cast("timestamp")
+    req = evs.select(
+        F.col("event_id").cast("string").alias("custom_id"),
+        ts_ltz.alias("req_ts"),
+        F.col("event_type").alias("model"),
+    )
+    lag = F.when(F.col("event_id") % 6 == 4, F.lit(_SS_HORIZON + 120)).otherwise(
+        F.lit(30) + (F.col("event_id") % 4) * 100
+    )
+    res = evs.filter(F.col("event_id") % 6 != 5).select(
+        F.col("event_id").cast("string").alias("custom_id"),
+        F.timestamp_add("SECOND", lag.cast("int"), ts_ltz).alias("res_ts"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("failed"))
+        .otherwise(F.lit("completed"))
+        .alias("status"),
+    )
+    for name, df, ts_col, extra in (
+        ("reqs", req, "req_ts", ("model", "m1")),
+        ("ress", res, "res_ts", ("status", "completed")),
+    ):
+        d = os.path.join(root, name)
+        df.repartitionByRange(
+            _SS_N_WAVES, F.col(ts_col), F.col("custom_id")
+        ).write.mode("overwrite").parquet(d)
+        files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        for i, f in enumerate(files):
+            os.utime(os.path.join(d, f), (1_000_000_000 + 10 * i,) * 2)
+        # sentinel + flush, each in its OWN file with a later mtime
+        for j, (cid, day) in enumerate(
+            (("sentinel", "2100-01-01"), ("sentinel_flush", "2100-01-02"))
+        ):
+            one = spark.createDataFrame(
+                [(cid,)], "custom_id string"
+            ).select(
+                "custom_id",
+                F.lit(day).cast("timestamp").alias(ts_col),
+                F.lit(extra[1]).alias(extra[0]),
+            )
+            stage = tempfile.mkdtemp(prefix="r80_stage_")
+            one.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            dst = os.path.join(d, f"zz_{cid}.parquet")
+            shutil.move(os.path.join(stage, part), dst)
+            shutil.rmtree(stage, ignore_errors=True)
+            os.utime(dst, (1_000_000_000 + 1000 + 10 * j,) * 2)
+    _WIRE_CACHE[key] = root
+    return os.path.join(root, "reqs"), os.path.join(root, "ress")
+
+
+#: r80 oracle: the batch left join the stream must reproduce —
+#: requests/results are pure projections of events (the same
+#: expressions the wire export uses), joined on custom_id within
+#: [req_ts, req_ts + horizon]. Matched rows carry the result + latency;
+#: expired (% 6 == 4) and never-answered (% 6 == 5) requests surface
+#: exactly once with NULL result columns — the rows the STREAM may only
+#: emit via watermark eviction, which is precisely what this row
+#: hash-checks.
+R80_SSJOIN_SQL = f"""
+WITH req AS (
+  SELECT CAST(event_id AS VARCHAR) AS custom_id, ts AS req_ts,
+         event_type AS model
+  FROM events
+),
+res AS (
+  SELECT CAST(event_id AS VARCHAR) AS custom_id,
+         ts + (CASE WHEN event_id % 6 = 4 THEN {_SS_HORIZON + 120}
+                    ELSE 30 + (event_id % 4) * 100 END)
+              * INTERVAL 1 SECOND AS res_ts,
+         CASE WHEN event_id % 3 = 0 THEN 'failed'
+              ELSE 'completed' END AS status
+  FROM events WHERE event_id % 6 <> 5
+)
+SELECT r.custom_id, r.req_ts, r.model, s.res_ts, s.status,
+       CAST(epoch_ms(s.res_ts) - epoch_ms(r.req_ts) AS BIGINT) AS latency_ms
+FROM req r
+LEFT JOIN res s
+  ON r.custom_id = s.custom_id
+ AND s.res_ts >= r.req_ts
+ AND s.res_ts <= r.req_ts + INTERVAL {_SS_HORIZON} SECOND
+"""
+
+
+@register(
+    "r80_streaming_ssjoin",
+    R80_SSJOIN_SQL,
+    doc="Event-time stream-stream LEFT OUTER join through the driver "
+    "gate (VERDICT r15 item 4 — T8 promoted from pytest-only to "
+    "catalog row, the r77/r78/r79 wire-log recipe): events is derived "
+    "into a request wire (custom_id, req_ts, model) and a result wire "
+    "(custom_id, res_ts, status; lag a pure function of event_id, so "
+    "the oracle reproduces it), each replayed as event-time-ordered "
+    "parquet waves through readStream → withWatermark on BOTH sides → "
+    "native stream-stream join on custom_id within [req_ts, req_ts + "
+    f"{_SS_HORIZON} s] (streaming/ssjoin.py) → foreachBatch append. "
+    "The accumulated output must hash-match DuckDB's batch left join: "
+    "matched rows with latency, expired requests (answered past the "
+    "horizon) and never-answered requests exactly once with NULL "
+    "result columns. The NULL rows are the hard part — the engine may "
+    "only emit them by WATERMARK EVICTION (the time-range bound is "
+    "what lets buffered state expire), so a watermark/eviction bug "
+    "hash-mismatches. Far-future sentinel + flush files per side push "
+    "the min-across-inputs watermark and trigger the final eviction "
+    "batch; sentinels are filtered from the output (their own outer "
+    "rows are stream-pending by construction — nothing pushes the "
+    "watermark past THEM). At 100 TB: state per side is bounded by "
+    "watermark − horizon (never corpus-sized, asserted by the pytest "
+    "twin), shuffle is keyed on custom_id, and the output is the "
+    "§3 request/result reconciliation feed. Tier-1.",
+)
+def r80_streaming_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The returned DataFrame is eagerly localCheckpoint-ed (ADVICE
+    r14), so it stays readable even after the next streaming-row call
+    reclaims this invocation's run dir."""
+    from ..streaming.ssjoin import (
+        REQUEST_WIRE_SCHEMA,
+        RESULT_WIRE_SCHEMA,
+        join_requests_results,
+    )
+
+    reqs_dir, ress_dir = _reqres_wire_logs(spark, sf_dir)
+    while _LAST_RUN_DIR:
+        shutil.rmtree(_LAST_RUN_DIR.pop(), ignore_errors=True)
+    run_dir = tempfile.mkdtemp(prefix="r80_run_")
+    _LAST_RUN_DIR.append(run_dir)
+    out = os.path.join(run_dir, "out")
+    ckpt = os.path.join(run_dir, "ckpt")
+
+    # single-batch fold below the wire threshold, with ONE structural
+    # exception: the flush file must land in its OWN trailing batch —
+    # outer rows are emitted by eviction at the start of the batch
+    # AFTER the one whose sentinel advanced the watermark, so the
+    # minimum honest replay is 2 micro-batches (waves+sentinel, then
+    # flush), never 1. Above the threshold each file is its own batch
+    # and the same flush file still closes the stream.
+    wire_bytes = sum(
+        os.path.getsize(os.path.join(d, f))
+        for d in (reqs_dir, ress_dir)
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+    mft = (
+        _SS_N_WAVES + 1
+        if wire_bytes <= _SINGLE_BATCH_MAX_WIRE_BYTES
+        else 1
+    )
+    req = (
+        spark.readStream.schema(REQUEST_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", mft)
+        .parquet(reqs_dir)
+    )
+    res = (
+        spark.readStream.schema(RESULT_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", mft)
+        .parquet(ress_dir)
+    )
+    joined = join_requests_results(
+        req, res, _SS_HORIZON, _SS_DELAY, how="left_outer"
+    )
+
+    def _sink(batch_df: DataFrame, _bid: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    with _stream_shuffle_partitions(spark, 8):
+        q = (
+            joined.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .filter(~F.col("custom_id").startswith("sentinel"))
+        .select(
+            "custom_id", "req_ts", "model", "res_ts", "status", "latency_ms"
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+# --- r81: incremental SCD2 through the driver gate ---------------------
+
+
+def _scd2_wire_log(spark: SparkSession, sf_dir: str) -> str:
+    """events projected to the SCD2 wire (user_id, event_id,
+    event_type, eu) with eu = the EXACT microsecond epoch r04 orders by
+    (engine.det.epoch_us — the events ts values carry sub-second parts,
+    so the r77 wire's second-granularity es cannot stand in), split
+    into _N_WAVES contiguous (eu, event_id) ranges, ascending-mtime
+    stamped. Same amortization/atexit-GC rules as the other wires."""
+    from ..engine.det import epoch_us
+
+    key = "scd2:" + os.path.abspath(sf_dir)
+    if key in _WIRE_CACHE:
+        return _WIRE_CACHE[key]
+    wire_dir = tempfile.mkdtemp(prefix="r81_wire_")
+    evs = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", epoch_us("ts").alias("eu")
+    )
+    evs.repartitionByRange(
+        _N_WAVES, F.col("eu"), F.col("event_id")
+    ).write.mode("overwrite").parquet(wire_dir)
+    files = sorted(f for f in os.listdir(wire_dir) if f.endswith(".parquet"))
+    for i, f in enumerate(files):
+        os.utime(os.path.join(wire_dir, f), (1_000_000_000 + 10 * i,) * 2)
+    _WIRE_CACHE[key] = wire_dir
+    return wire_dir
+
+
+@register(
+    "r81_streaming_scd2",
+    # reuse r04's oracle verbatim: batch rebuild ≡ incremental stream
+    # is the entire claim
+    R04_SCD2_SQL,
+    doc="Incremental SCD2 through the driver gate (VERDICT r15 item 6 "
+    "— the X15 streaming twin promoted from pytest-only to catalog "
+    "row): events replayed as a 3-wave (eu, event_id)-ordered parquet "
+    "wire log through readStream → applyInPandasWithState per-user "
+    "open-interval state (streaming/scd2.py) → per-batch "
+    "(user_id, valid_from_us) upsert store, and the FINAL store must "
+    "hash-match the exact same DuckDB oracle as the batch r04 rebuild "
+    "— nightly-rebuild ≡ incremental-maintenance checked by the gate "
+    "itself. Cross-batch state is real: a user whose state change "
+    "straddles waves has the open interval carried by the engine's "
+    "state store and CLOSED by a later micro-batch (the closed row "
+    "replaces the open row at the same (user_id, valid_from_us) key). "
+    "Equality argument: the interval build is a fold over the per-user "
+    "(eu, event_id)-sorted sequence; each batch sorts within itself "
+    "and the waves are contiguous ranges replayed in order, so the "
+    "concatenation the state machine sees IS the globally sorted "
+    "sequence (the r77 argument). At 100 TB: O(1) state per user "
+    "(RocksDB-backed), one shuffle (the stateful groupBy), store "
+    "upsert becomes MERGE into the dimension table — the canonical "
+    "incremental dimension-maintenance topology. Tier-1.",
+)
+def r81_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The returned DataFrame is eagerly localCheckpoint-ed (ADVICE
+    r14), so it stays readable even after the next streaming-row call
+    reclaims this invocation's run dir."""
+    from ..streaming.scd2 import SCD2_WIRE_SCHEMA, _upsert_intervals, scd2_stateful
+
+    wire_dir = _scd2_wire_log(spark, sf_dir)
+    while _LAST_RUN_DIR:
+        shutil.rmtree(_LAST_RUN_DIR.pop(), ignore_errors=True)
+    run_dir = tempfile.mkdtemp(prefix="r81_run_")
+    _LAST_RUN_DIR.append(run_dir)
+    store = os.path.join(run_dir, "store")
+    ckpt = os.path.join(run_dir, "ckpt")
+
+    # single-batch fold below the wire threshold (the r77 rule): extra
+    # micro-batches are pure fixed machinery at toy SF; the multi-wave
+    # open-interval-close contract stays pinned by the pytest twin
+    wire_bytes = sum(
+        os.path.getsize(os.path.join(wire_dir, f))
+        for f in os.listdir(wire_dir)
+        if f.endswith(".parquet")
+    )
+    mft = _N_WAVES if wire_bytes <= _SINGLE_BATCH_MAX_WIRE_BYTES else 1
+    src = (
+        spark.readStream.schema(SCD2_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", mft)
+        .parquet(wire_dir)
+    )
+    out = scd2_stateful(src)
+    with _stream_shuffle_partitions(spark, 8):
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _id: _upsert_intervals(df, store)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(store)
+        .select("user_id", "state", "valid_from_us", "valid_to_us", "is_current")
+        .localCheckpoint(eager=True)
+    )

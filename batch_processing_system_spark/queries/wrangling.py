@@ -232,9 +232,10 @@ def r03_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r04 — SCD2 interval build
 # ---------------------------------------------------------------------------
 
-@register(
-    "r04_scd2",
-    """
+#: shared with r81_streaming_scd2 (queries/streamrows.py): the
+#: streaming twin's final interval store must hash-match the SAME
+#: batch-rebuild oracle
+R04_SCD2_SQL = """
     WITH e AS (
         SELECT user_id, event_type AS state,
                CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS eu,
@@ -256,7 +257,12 @@ def r03_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            (LEAD(eu) OVER (PARTITION BY user_id ORDER BY eu, event_id)
                IS NULL) AS is_current
     FROM chg
-    """,
+    """
+
+
+@register(
+    "r04_scd2",
+    R04_SCD2_SQL,
     doc="Slowly-changing-dimension type 2 from a change log: treating "
     "events.event_type as each user's state, keep only CHANGE rows "
     "(lag() differs), then interval-close each change with lead() — "

@@ -120,7 +120,45 @@ class TestBackendMatrix:
             importable = True
         except Exception:
             importable = False
-        assert ds.delta_available() is importable
+        if not importable:
+            assert ds.delta_available() is False
+        else:  # pragma: no cover - not this container
+            # importable: availability additionally requires the ACTIVE
+            # session (if any) to carry the Delta extension (ADVICE r15)
+            from pyspark.sql import SparkSession
+
+            active = SparkSession.getActiveSession()
+            exts = (
+                (active.conf.get("spark.sql.extensions", "") or "")
+                if active is not None
+                else ""
+            )
+            assert ds.delta_available() is (
+                active is None or "DeltaSparkSessionExtension" in exts
+            )
+
+    def test_delta_unavailable_when_active_session_lacks_extension(
+        self, spark, monkeypatch
+    ):
+        """ADVICE r15: SPARK_DELTA=1 set AFTER a session exists must
+        NOT report the lane live — getOrCreate returns the pre-flag
+        session (no Delta extension), so MERGE INTO would fail with a
+        confusing catalog error. delta_available() cross-checks the
+        active session's spark.sql.extensions; with the import gate
+        faked open and the tests' non-delta session active, the lane
+        must read unavailable and require_delta must name the flag
+        constraint."""
+        import sys
+        import types
+
+        from batch_processing_system_spark.pipeline import deltastore as ds
+
+        monkeypatch.setenv("SPARK_DELTA", "1")
+        monkeypatch.setitem(sys.modules, "delta", types.ModuleType("delta"))
+        assert spark.sparkContext is not None  # session is active
+        assert ds.delta_available() is False
+        with pytest.raises(NotImplementedError, match="BEFORE the first"):
+            ds.require_delta()
 
 
 class TestCommitStoreBasics:

@@ -341,3 +341,88 @@ class TestDistributedGreedy:
                 d: ((d in kept), dup.get(d)) for d in ids
             }
             assert got == want, (ids, edges)
+
+
+class TestRedeliveryShingleDedup:
+    """ADVICE r15 (medium): under id redelivery the redelivered doc's
+    shingles must appear ONCE in the verify-side shingle table. The old
+    union shingled the store copy too, doubling that doc's nsh and
+    per-shingle match fanout and silently weakening the J >= 0.6 test
+    to ~J >= 0.39 for (redelivered, other) pairs — a batch doc at true
+    J ~ 0.44 was falsely verified and wrongly dropped."""
+
+    # 40-word docs sharing a contiguous 26-word run: 36 shingles each,
+    # 22 common -> J = 22/50 = 0.44. Old doubled-shingle condition:
+    # 10*(2*22) >= 6*(72+36-44) -> 440 >= 384 -> falsely verified;
+    # correct condition: 220 >= 300 is false -> NOT a near-dup.
+    _S = [f"s{i:02d}" for i in range(26)]
+    DOC_P = " ".join(_S + [f"u{i:02d}" for i in range(14)])
+    DOC_Q = " ".join(_S + [f"v{i:02d}" for i in range(14)])
+
+    def test_borderline_pair_survives_redelivery(self, spark, tmp_path):
+        corpus, bands = str(tmp_path / "corpus"), str(tmp_path / "bands")
+        d1 = neardup_batch(
+            spark, _df(spark, [(1, self.DOC_P)]), corpus, bands
+        ).collect()
+        assert d1[0]["kept"] is True
+        # batch 2: doc 1 REDELIVERED + doc 2 at true J=0.44 vs doc 1
+        d2 = {
+            r["doc_id"]: (r["kept"], r["dup_of"])
+            for r in neardup_batch(
+                spark,
+                _df(spark, [(1, self.DOC_P), (2, self.DOC_Q)]),
+                corpus,
+                bands,
+            ).collect()
+        }
+        assert d2[1] == (False, 1)  # redelivery cross-rejected
+        # the borderline doc is NOT a near-dup (J=0.44 < 0.6): kept
+        assert d2[2] == (True, None)
+        kept_ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(corpus).select("doc_id").collect()
+        }
+        assert kept_ids == {1, 2}
+
+
+class TestLfmisRoundBudgetBoundary:
+    """ADVICE r15 (low): a pair graph that converges EXACTLY on round
+    _MIS_MAX_ROUNDS must succeed (the old for/else raised a spurious
+    non-convergence there); a graph that genuinely needs more rounds
+    must still fail loudly."""
+
+    def _run(self, spark, n_path_nodes):
+        from batch_processing_system_spark.streaming.neardup import (
+            _decisions_distributed,
+        )
+
+        ids = list(range(n_path_nodes))
+        batch = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+        verified = spark.createDataFrame(
+            [(i, i + 1) for i in ids[:-1]], "doc_id_a bigint, doc_id_b bigint"
+        )
+        return {
+            r["doc_id"]: (r["kept"], r["dup_of"])
+            for r in _decisions_distributed(spark, batch, verified).collect()
+        }
+
+    def test_convergence_on_final_round_succeeds(self, spark, monkeypatch):
+        import batch_processing_system_spark.streaming.neardup as nd
+
+        # a 4-node path needs exactly 2 elimination rounds
+        monkeypatch.setattr(nd, "_MIS_MAX_ROUNDS", 2)
+        got = self._run(spark, 4)
+        assert got == {
+            0: (True, None),
+            1: (False, 0),
+            2: (True, None),
+            3: (False, 2),
+        }
+
+    def test_true_non_convergence_still_raises(self, spark, monkeypatch):
+        import batch_processing_system_spark.streaming.neardup as nd
+
+        # a 6-node path needs 3 rounds; budget 2 must fail loudly
+        monkeypatch.setattr(nd, "_MIS_MAX_ROUNDS", 2)
+        with pytest.raises(AssertionError, match="round budget"):
+            self._run(spark, 6)

@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import random
 import sys
 import time
 
@@ -40,56 +39,16 @@ from batch_processing_system_spark.queries.similarity import (
     SEED,
     _shingles,
     _verify_jaccard_pairs,
+    minhash_band_candidates,
 )
 
 
 def compound_candidates(sh, n_bands: int, band_rows: int):
-    """(da, db) candidate pairs from compound MinHash bands: per band,
-    the bucket key is the tuple of ``band_rows`` independent seeded
-    affine minhashes over murmur3 shingle hashes (the pure-expression
-    family streaming/neardup.py introduced in round 14). One shuffle
-    for the per-doc mins, one self-join on (band, key-tuple)."""
-    rnd = random.Random(SEED)
-    p = (1 << 31) - 1
-    coeffs = [
-        (rnd.randrange(1, 1 << 29), rnd.randrange(0, 1 << 29))
-        for _ in range(n_bands * band_rows)
-    ]
-    x = F.hash("shingle").cast("long").bitwiseAND(F.lit(0x7FFFFFFF))
-    hs = sh.select("doc_id", x.alias("x"))
-    mins = hs.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(p)).alias(f"h{i}")
-            for i, (a, b) in enumerate(coeffs)
-        ]
-    )
-    bands = mins.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.struct(
-                        *[
-                            F.col(f"h{i * band_rows + r}").alias(f"r{r}")
-                            for r in range(band_rows)
-                        ]
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("band", "key"),
-    )
-    return (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .distinct()
-    )
+    """Shared with the production knob since round 16: the generator
+    moved into queries/similarity.py (minhash_band_candidates) so
+    SPARK_GRAFT_Q42_BANDS exercises the EXACT code this probe measured
+    output-identical at sf3/sf10; this wrapper keeps the probe CLI."""
+    return minhash_band_candidates(sh, n_bands, band_rows)
 
 
 def stock_candidates(spark, docs, sh):

@@ -39,6 +39,7 @@ _fam(
     "q60_scalar_subquery q62_histogram q63_grouped_map q67_scalar_breadth "
     "q68_conditional_agg q69_window_breadth q70_map_ops q71_posexplode "
     "q72_unpivot q73_hash_sample q76_variant q82_hll_union "
+    "r82_quantile_sketch "
     "q83_cogrouped_map q84_bitmap_distinct q85_chunk_udtf q95_funnel "
     "q96_retention q97_transitions r70_salted_hot_agg r71_salted_hot_join "
     "r75_skew_profile",
@@ -86,6 +87,7 @@ _fam("r18_triangles r23_pagerank r52_bfs_hops", "Graph analytics")
 _fam("r77_streaming_funnel", "Streaming replay")
 _fam("r78_streaming_neardup", "Streaming replay")
 _fam("r79_streaming_heavyhitters", "Streaming replay")
+_fam("r80_streaming_ssjoin r81_streaming_scd2", "Streaming replay")
 _fam(
     "r01_gapfill r02_fuzzy_match r03_profile r04_scd2 r06_attribution "
     "r07_bloom_semi r10_weighted_sample r16_market_basket "

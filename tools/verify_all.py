@@ -93,8 +93,10 @@ def main() -> None:
     ok &= r.returncode == 0
     print(f"[3/5] plan audit: {summary['audit']}")
 
+    # the full suite crossed 53 min in round 15 (848 tests, streaming
+    # replay suites dominate) — 3600 s timed out mid-run in r16
     r = run([sys.executable, "-m", "pytest", "tests/", "-q", "--tb=no"],
-            timeout=3600)
+            timeout=7200)
     tail = [l for l in r.stdout.splitlines() if l.strip()][-1:]
     summary["pytest"] = tail[0] if tail else "FAILED"
     ok &= r.returncode == 0
