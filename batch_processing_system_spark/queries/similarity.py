@@ -225,7 +225,9 @@ def _q42_candidates(spark: SparkSession, sh: DataFrame) -> DataFrame:
                 .agg(F.count(F.lit(1)).alias("n"))
                 .agg(
                     F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("c")
-                ).collect()[0]["c"]
+                )
+                # bounded-collect: single-row global aggregate (one scalar)
+                .collect()[0]["c"]
             )
             if est is not None and est <= budget:
                 return _band_self_join(bands)
