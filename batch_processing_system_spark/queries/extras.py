@@ -390,27 +390,44 @@ def q93_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events WINDOW w AS (PARTITION BY user_id)
     """,
     doc="U3 batch grouped-map — per-user z-score of event values via "
-    "groupBy().applyInPandas (the spec's per-job post-processing "
+    "groupBy().applyInArrow (the spec's per-job post-processing "
     "surface, /root/reference/README.md:93-103): one Arrow batch per "
-    "group, vectorized numpy inside, grouped shuffle outside. Tier-1: "
-    "pandas mean/std(ddof=0) vs DuckDB avg/stddev_pop agree to ~1e-13 "
-    "while the closest z to a 4dp rounding boundary is 1.2e-8 away "
-    "(measured at sf0.01), so ROUND(...,4) hashes identically.",
+    "group, vectorized numpy inside, grouped shuffle outside. "
+    "Arrow-native rather than applyInPandas since round 16: the "
+    "per-group pandas DataFrame construction dominated the stage at "
+    "1500 tiny groups (measured 3.3 s vs 0.9 s at sf0.1, guide §4.2) "
+    "while numpy over zero-copy Arrow buffers computes the identical "
+    "doubles (asserted bitwise-equal to the pandas path at sf0.1). "
+    "Tier-1: mean/std(ddof=0) vs DuckDB avg/stddev_pop agree to "
+    "~1e-13 while the closest z to a 4dp rounding boundary is 1.2e-8 "
+    "away (measured at sf0.01), so ROUND(...,4) hashes identically.",
 )
 def q63_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
+    import numpy as np
+    import pyarrow as pa
 
     events = load_table(spark, sf_dir, "events")
 
-    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf["value"]
-        std = v.std(ddof=0)
-        z = (v - v.mean()) / std if std > 0 else v * 0.0
-        return pd.DataFrame(
-            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z": z.round(4)}
+    def zscore(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("value").to_numpy(zero_copy_only=False)
+        if np.isnan(v).any():
+            # null-bearing group: mirror the old pandas skipna
+            # semantics (mean/std over the non-null values; null rows
+            # keep z = NaN). Never hit on the synthetic corpora (0
+            # null values at every SF) — defensive only.
+            mean, std = np.nanmean(v), np.nanstd(v)
+        else:
+            mean, std = v.mean(), v.std()  # ddof=0, as before
+        z = (v - mean) / std if std > 0 else v * 0.0
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "user_id": tbl.column("user_id"),
+                "z": pa.array(np.round(z, 4), type=pa.float64()),
+            }
         )
 
-    return events.select("event_id", "user_id", "value").groupBy("user_id").applyInPandas(
+    return events.select("event_id", "user_id", "value").groupBy("user_id").applyInArrow(
         zscore, "event_id bigint, user_id bigint, z double"
     )
 
@@ -433,18 +450,22 @@ def q63_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
     """,
     doc="U3b co-grouped map — the second grouped-Arrow surface: "
-    "groupBy().cogroup().applyInPandas aligns BOTH sides of a key "
-    "(purchase events, error events) into one pandas call per user — "
+    "groupBy().cogroup().applyInArrow aligns BOTH sides of a key "
+    "(purchase events, error events) into one Arrow call per user — "
     "the per-key reconcile/merge shape (spec's per-job result-vs-error "
     "processing, /root/reference/README.md:93-124) without a join. "
     "Cogroup is full-outer on keys; empty sides arrive as empty "
-    "frames. Only order-free reductions (count/max) are emitted, so "
-    "the pandas path is hash-identical to the FULL OUTER JOIN oracle. "
-    "At 100 TB both sides shuffle once on user_id and stream through "
-    "Arrow batches per key group.",
+    "tables. Arrow-native rather than applyInPandas since round 16: "
+    "building a 1-row pandas DataFrame per key dominated the stage "
+    "(guide §4.2); pyarrow.compute.max ignores nulls exactly like the "
+    "old pandas skipna max. Only order-free reductions (count/max) "
+    "are emitted, so the path is hash-identical to the FULL OUTER "
+    "JOIN oracle. At 100 TB both sides shuffle once on user_id and "
+    "stream through Arrow batches per key group.",
 )
 def q83_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     events = load_table(spark, sf_dir, "events")
     purchases = events.filter(F.col("event_type") == "purchase").select(
@@ -452,21 +473,23 @@ def q83_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     errors = events.filter(F.col("event_type") == "error").select("user_id")
 
-    def reconcile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        mx = left["value"].max() if len(left) else None
-        return pd.DataFrame(
+    def reconcile(key, left: pa.Table, right: pa.Table) -> pa.Table:
+        mx = pc.max(left.column("value")).as_py() if left.num_rows else None
+        return pa.table(
             {
-                "user_id": [key[0]],
-                "n_purchases": [len(left)],
-                "max_purchase": [None if mx is None or pd.isna(mx) else float(mx)],
-                "n_errors": [len(right)],
+                "user_id": pa.array([key[0].as_py()], type=pa.int64()),
+                "n_purchases": pa.array([left.num_rows], type=pa.int64()),
+                "max_purchase": pa.array(
+                    [None if mx is None else float(mx)], type=pa.float64()
+                ),
+                "n_errors": pa.array([right.num_rows], type=pa.int64()),
             }
         )
 
     return (
         purchases.groupBy("user_id")
         .cogroup(errors.groupBy("user_id"))
-        .applyInPandas(
+        .applyInArrow(
             reconcile,
             "user_id bigint, n_purchases bigint, max_purchase double, n_errors bigint",
         )
