@@ -1033,7 +1033,14 @@ def q86_ann_ivf(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("raw")
     )
     unit = Normalizer(inputCol="raw", outputCol="unit", p=2.0).transform(vecs)
-    km = KMeans(k=k, seed=SEED, featuresCol="unit", predictionCol="cell")
+    # maxIter=10 (round-16): the quantizer fit is the whole cost of
+    # this query (guide §1.2 — spark.ml's default is 20 Lloyd rounds;
+    # 10 halve the fit wall-clock) and a coarse quantizer only needs
+    # rough cells — the probed top-5 stays the exact top-5 at every
+    # test SF (oracle re-verified at sf0.001/0.01/0.1; 5 rounds was
+    # TOO coarse — it broke recall at sf0.1 and was rejected), the
+    # same measured-recall contract the row always carried.
+    km = KMeans(k=k, seed=SEED, featuresCol="unit", predictionCol="cell", maxIter=10)
     model = km.fit(unit)
 
     qvec = _query_vector(spark, sf_dir, 0)
@@ -1569,22 +1576,28 @@ def r60_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ONE generation pass feeds all three thresholds
         .localCheckpoint(eager=True)
     )
-    outs = []
-    for tau in _SWEEP_TAUS:
+    def _one_tau(tau: str):
         sub = pairs.where(F.col("cos_sim") >= float(tau)).select(
             F.col("vec_id_a").alias("doc_id_a"),
             F.col("vec_id_b").alias("doc_id_b"),
         )
         lab = connected_components(sub)
         sizes = lab.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
-        outs.append(
-            sizes.agg(
-                F.lit(float(tau)).alias("tau"),
-                F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
-                F.coalesce(F.sum("sz"), F.lit(0)).cast("bigint").alias("n_clustered"),
-                F.coalesce(F.max("sz"), F.lit(0)).cast("bigint").alias("largest"),
-            )
+        return sizes.agg(
+            F.lit(float(tau)).alias("tau"),
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.coalesce(F.sum("sz"), F.lit(0)).cast("bigint").alias("n_clustered"),
+            F.coalesce(F.max("sz"), F.lit(0)).cast("bigint").alias("largest"),
         )
+
+    # the three thresholds are independent component computations over
+    # the SAME checkpointed pair list — overlap their convergence-loop
+    # jobs from a small thread pool (guide §2.6; each threshold's
+    # result is deterministic on its own, only wall-clock overlaps)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(_SWEEP_TAUS)) as pool:
+        outs = list(pool.map(_one_tau, _SWEEP_TAUS))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionAll(o)

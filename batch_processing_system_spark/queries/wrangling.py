@@ -2319,9 +2319,26 @@ def r66_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", (F.row_number().over(w) + F.col("off")).alias(alias)
         )
 
-    rr = _rank(scored.select("user_id", "recency_days"), [F.col("recency_days")], "rr")
-    rf = _rank(scored.select("user_id", "freq"), [F.col("freq").desc()], "rf")
-    rm = _rank(scored.select("user_id", "monetary"), [F.col("monetary").desc()], "rm")
+    # the three rank passes are independent jobs over the same
+    # checkpointed input — submit them from a small thread pool so each
+    # pass's materialize+collect tail backfills the others (guide §2.6;
+    # results are deterministic per pass, only the wall-clock overlaps)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_rr = pool.submit(
+            _rank, scored.select("user_id", "recency_days"),
+            [F.col("recency_days")], "rr",
+        )
+        f_rf = pool.submit(
+            _rank, scored.select("user_id", "freq"),
+            [F.col("freq").desc()], "rf",
+        )
+        f_rm = pool.submit(
+            _rank, scored.select("user_id", "monetary"),
+            [F.col("monetary").desc()], "rm",
+        )
+        rr, rf, rm = f_rr.result(), f_rf.result(), f_rm.result()
     ranked = (
         scored.select("user_id", "n")
         .join(rr, "user_id")
