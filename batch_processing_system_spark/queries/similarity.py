@@ -280,6 +280,11 @@ def _q42_candidates(spark: SparkSession, sh: DataFrame) -> DataFrame:
 )
 def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # deliberately NOT checkpointed (round-16 measurement): exchange
+    # reuse already dedups the shingle pipeline inside each job, and
+    # materializing the 250k-row shingle table costs more than the one
+    # narrow recompute it saves (2.2 s vs 2.7 s warm at sf0.1 — the
+    # same trade connected_components documented in r6)
     sh = _shingles(docs, n=5)
     return _verify_jaccard_pairs(_q42_candidates(spark, sh), sh)
 

@@ -973,7 +973,15 @@ _MB_MIN_SUPPORT = 3
 )
 def r16_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
-    li = lineitem.select("l_orderkey", "l_partkey").distinct()
+    # materialize the distinct basket once (round-16): it feeds FOUR
+    # consumers — the order-count scalar, the per-part counts, and both
+    # sides of the pair self-join — and only the self-join's exchange
+    # reuse deduplicated any of them before
+    li = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_orders = li.select("l_orderkey").distinct().count()  # scalar dimension
     pc = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
     a = li.alias("a")
