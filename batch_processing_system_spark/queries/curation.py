@@ -126,6 +126,22 @@ def connected_components(
         .select(F.col("a").alias("doc_id"), "component")
         .localCheckpoint(eager=True)
     )
+
+    # Convergence test (round-16, guide §2.4): labels are MONOTONE —
+    # every update strictly decreases a label and nothing ever
+    # increases one — so "no label changed" ⟺ "Σ component is
+    # unchanged". The old test joined new labels to old labels and
+    # counted inequalities (a node-table shuffle join per round); the
+    # sum is one partial-aggregated scan of the already-checkpointed
+    # label table. DECIMAL(38,0) keeps the sum exact at any node count
+    # (int64 would overflow at ~1e12 rows of 1e6-sized ids).
+    def _label_sum(df: DataFrame) -> object:
+        # bounded-collect: single-row global aggregate (one scalar)
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for rnd in range(max_rounds):
         nbr_min = (
             edges.join(
@@ -163,17 +179,13 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             if rounds_out is not None:
                 rounds_out.append(rnd + 1)
             return labels
+        prev_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds — "
         "min-label propagation is provably monotone, so this indicates a "
