@@ -423,7 +423,13 @@ def q63_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "event_id": tbl.column("event_id"),
                 "user_id": tbl.column("user_id"),
-                "z": pa.array(np.round(z, 4), type=pa.float64()),
+                # from_pandas=True maps NaN → SQL NULL, matching the
+                # old applyInPandas semantics for a null-bearing value
+                # group (ADVICE r16: a bare pa.array keeps NaN as a
+                # non-null NaN value, which would hash-differ from the
+                # oracle; unreached on the synthetic corpora —
+                # defensive only).
+                "z": pa.array(np.round(z, 4), type=pa.float64(), from_pandas=True),
             }
         )
 

@@ -64,23 +64,40 @@ def _verify_jaccard_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
     the candidates' shingles, never all-pairs.
     """
     n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+    na = n.select(F.col("doc_id").alias("da"), F.col("nsh").alias("nsh_a"))
+    nb = n.select(F.col("doc_id").alias("db"), F.col("nsh").alias("nsh_b"))
+    # Length prefilter (round-17, guide §3.2 shape — prune the big
+    # side BEFORE the expensive join): J ≥ 0.6 forces the shingle
+    # counts to agree within the threshold ratio — J ≤ |A∩B|/|A∪B| ≤
+    # min(|A|,|B|)/max(|A|,|B|), so any true pair satisfies
+    # 10·min(nsh) ≥ 6·max(nsh). Attaching the (doc-count-sized) size
+    # table to the candidates FIRST and dropping length-incompatible
+    # pairs shrinks the input of the shingle-intersection join — the
+    # verifier's dominant cost — while provably never dropping a pair
+    # the final predicate would keep (the condition is necessary, in
+    # exact integer cross-multiplication). Sizes ride the groupBy keys
+    # (functionally dependent on da/db), so the old post-join against
+    # na/nb disappears instead of moving.
+    sized = (
+        cand.join(na, "da")
+        .join(nb, "db")
+        .filter(
+            10 * F.least("nsh_a", "nsh_b") >= 6 * F.greatest("nsh_a", "nsh_b")
+        )
+    )
     sh_a = sh.select(F.col("doc_id").alias("da"), F.col("shingle").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("db_"), F.col("shingle").alias("sh_b"))
     # composite equi-join (db, shingle) — joining on db alone and
     # filtering shingle equality afterwards would fan each candidate
     # pair out to |sh_a| x |sh_b| rows before filtering
     inter = (
-        cand.join(sh_a, "da")
+        sized.join(sh_a, "da")
         .join(sh_b, (F.col("db") == F.col("db_")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("da", "db")
+        .groupBy("da", "db", "nsh_a", "nsh_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    na = n.select(F.col("doc_id").alias("da"), F.col("nsh").alias("nsh_a"))
-    nb = n.select(F.col("doc_id").alias("db"), F.col("nsh").alias("nsh_b"))
     return (
-        inter.join(na, "da")
-        .join(nb, "db")
-        .filter(
+        inter.filter(
             10 * F.col("n_common")
             >= 6 * (F.col("nsh_a") + F.col("nsh_b") - F.col("n_common"))
         )

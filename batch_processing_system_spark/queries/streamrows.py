@@ -340,10 +340,20 @@ def r78_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     decisions = os.path.join(run_dir, "decisions")
     ckpt = os.path.join(run_dir, "ckpt")
 
+    # Round-17 (guide §1.2 — don't recompute what you already hold):
+    # the per-batch decision tables are ALREADY eagerly
+    # localCheckpoint-ed by neardup_batch (session-lifetime blocks,
+    # independent of the reclaimable run dir), so capture them here
+    # and return their union instead of re-reading the decision log
+    # parquet back — two fewer jobs (read + re-checkpoint) per query.
+    # The decision log itself is still written: it IS the operator's
+    # externalized output contract.
+    batch_decisions: list[DataFrame] = []
+
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
-        neardup_batch(
-            batch_df.sparkSession, batch_df, corpus, bands
-        ).write.mode("append").parquet(decisions)
+        d = neardup_batch(batch_df.sparkSession, batch_df, corpus, bands)
+        d.write.mode("append").parquet(decisions)
+        batch_decisions.append(d)
 
     # single-batch fold below the wire threshold (VERDICT r14 item 1,
     # the r77 treatment): each extra micro-batch here costs ~3-4 s of
@@ -380,15 +390,18 @@ def r78_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    # eager materialization (ADVICE r14): the decision log is
-    # output-sized; checkpointing it detaches the returned DataFrame
-    # from the run dir, so a caller holding two results across
-    # re-invocations no longer reads freed storage
-    return (
-        spark.read.parquet(decisions)
-        .select("doc_id", "kept", "dup_of")
-        .localCheckpoint(eager=True)
-    )
+    # the captured per-batch tables are each eagerly checkpointed
+    # (detached from the run dir — the ADVICE r14 contract holds);
+    # their union is the same decision log the parquet read-back
+    # produced, without the extra read + re-checkpoint jobs
+    if not batch_decisions:  # defensive: empty wire
+        return spark.read.parquet(decisions).select(
+            "doc_id", "kept", "dup_of"
+        ).localCheckpoint(eager=True)
+    out = batch_decisions[0].select("doc_id", "kept", "dup_of")
+    for d in batch_decisions[1:]:
+        out = out.unionByName(d.select("doc_id", "kept", "dup_of"))
+    return out
 
 
 #: r79 oracle — only DETERMINISTIC sketch facts are hash-checked (the
@@ -780,14 +793,30 @@ def r80_streaming_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         if env_parts
         else max(2, min(200, wire_bytes // (32 << 20) + 1))
     )
-    with _stream_shuffle_partitions(spark, n_parts):
-        q = (
-            joined.writeStream.foreachBatch(_sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+    # ADVICE r16: with the flush file folded into batch 0, the outer
+    # (NULL) rows are emitted by availableNow's trailing NO-DATA
+    # micro-batch — which only runs while
+    # spark.sql.streaming.noDataMicroBatches.enabled is true (the
+    # engine default). Pin it for this stream so a session-level
+    # override can never silently drop the eviction batch and with it
+    # the Tier-1 NULL outer rows.
+    prev_ndmb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    try:
+        with _stream_shuffle_partitions(spark, n_parts):
+            q = (
+                joined.writeStream.foreachBatch(_sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndmb
         )
-        q.awaitTermination()
     return (
         spark.read.parquet(out)
         .filter(~F.col("custom_id").startswith("sentinel"))

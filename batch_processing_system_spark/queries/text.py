@@ -131,34 +131,57 @@ def q46_neardup_jaccard(
     # the corpus for each consumer
     sh = _shingles(docs, n=5).localCheckpoint(eager=True)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    shd = sh.join(dfreq, "shingle")
-    rare = shd.filter(F.col("df") <= df_cut).select("doc_id", "shingle")
-    # per-doc rarest-k exemption: without it, a near-identical cluster
-    # of > df_cut documents has NO sub-cut shingle (its own size pushes
-    # every shared shingle over the cut) and the whole cluster — the
-    # highest-value dedup target — would generate zero candidates.
-    # Candidates from an exempt shingle are bounded by the true cluster
-    # size, i.e. proportional to the output itself, never boilerplate.
-    # Cost: only 'needy' docs (fewer than keep_rarest rare shingles)
-    # can gain from the exemption — for any other doc the k rarest by
-    # (df, shingle) are all rare already — and of a needy doc's top-k
-    # only the HOT rows add anything, which also makes the union
-    # disjoint by df (no distinct needed). The window therefore sorts
-    # a vanishing fraction of the shingle set on ordinary corpora.
-    satisfied = (
-        rare.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_rare"))
-        .filter(F.col("n_rare") >= keep_rarest)
-        .select("doc_id")
-    )
-    needy = shd.join(satisfied, "doc_id", "left_anti")
-    per_doc = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    rarest_k_hot = (
-        needy.withColumn("rn", F.row_number().over(per_doc))
-        .filter((F.col("rn") <= keep_rarest) & (F.col("df") > df_cut))
-        .select("doc_id", "shingle")
-    )
-    kept = rare.unionAll(rarest_k_hot)
+    # Round-17 restructure (guide §2.3/§3.1): the DF cut only needs the
+    # HOT shingles (df > cut) — a boilerplate-sized set at any scale —
+    # so materialize THAT and anti-join it against the shingle table,
+    # instead of the old full sh ⋈ dfreq shuffle join that attached a
+    # df to every shingle row just to compare it against the cut. The
+    # hot set broadcasts at any corpus size (it is bounded by
+    # |corpus| / df_cut ≈ 1000 rows per the cut's own definition), so
+    # the big side is never shuffled for the cut decision. df values
+    # for the rarest-k window are attached only to NEEDY docs'
+    # shingles (a vanishing fraction; empty whenever hot is).
+    hot = dfreq.filter(F.col("df") > df_cut).localCheckpoint(eager=True)
+    if hot.isEmpty():
+        # common at high-entropy corpora (and every test SF): no
+        # shingle is hot, the cut excludes nothing and the rarest-k
+        # exemption is vacuous — candidates come from the plain
+        # inverted-index self-join over the full shingle table.
+        # Identical candidate set to the general path by construction
+        # (rare == sh, rarest_k_hot == ∅).
+        kept = sh
+    else:
+        hot_keys = F.broadcast(hot.select("shingle"))
+        rare = sh.join(hot_keys, "shingle", "left_anti").select(
+            "doc_id", "shingle"
+        )
+        # per-doc rarest-k exemption: without it, a near-identical
+        # cluster of > df_cut documents has NO sub-cut shingle (its own
+        # size pushes every shared shingle over the cut) and the whole
+        # cluster — the highest-value dedup target — would generate
+        # zero candidates. Candidates from an exempt shingle are
+        # bounded by the true cluster size, i.e. proportional to the
+        # output itself, never boilerplate. Cost: only 'needy' docs
+        # (fewer than keep_rarest rare shingles) can gain from the
+        # exemption — for any other doc the k rarest by (df, shingle)
+        # are all rare already — and of a needy doc's top-k only the
+        # HOT rows add anything, which also makes the union disjoint
+        # by df (no distinct needed). The window therefore sorts a
+        # vanishing fraction of the shingle set on ordinary corpora.
+        satisfied = (
+            rare.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_rare"))
+            .filter(F.col("n_rare") >= keep_rarest)
+            .select("doc_id")
+        )
+        needy = sh.join(satisfied, "doc_id", "left_anti").join(dfreq, "shingle")
+        per_doc = Window.partitionBy("doc_id").orderBy("df", "shingle")
+        rarest_k_hot = (
+            needy.withColumn("rn", F.row_number().over(per_doc))
+            .filter((F.col("rn") <= keep_rarest) & (F.col("df") > df_cut))
+            .select("doc_id", "shingle")
+        )
+        kept = rare.unionAll(rarest_k_hot)
     a = kept.select(F.col("doc_id").alias("da"), "shingle")
     b = kept.select(F.col("doc_id").alias("db"), "shingle")
     cand = (

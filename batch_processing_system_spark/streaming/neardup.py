@@ -442,13 +442,29 @@ def neardup_batch(
     # survivors is consumed once and is a cheap semijoin of the
     # file-backed source batch against the kept-id filter — a
     # localCheckpoint here would cost more (one extra job) than the
-    # recompute it saves
+    # recompute it saves. The two store appends are independent jobs
+    # over already-materialized inputs (decisions and bands are both
+    # checkpointed), so submit them from a 2-thread pool and let each
+    # write's task tail backfill the other (guide §2.6) — round-17,
+    # worth ~0.3 s of the per-micro-batch fixed cost at toy SF and
+    # harmless on a cluster scheduler.
     kept_filter = decisions.filter("kept").select("doc_id")
     survivors = batch.join(kept_filter, "doc_id", "left_semi")
-    survivors.write.mode("append").parquet(corpus_path)
-    bands.join(kept_filter, "doc_id", "left_semi").select(
-        "band", "h", "doc_id"
-    ).write.mode("append").parquet(bands_path)
+
+    def _append_corpus() -> None:
+        survivors.write.mode("append").parquet(corpus_path)
+
+    def _append_bands() -> None:
+        bands.join(kept_filter, "doc_id", "left_semi").select(
+            "band", "h", "doc_id"
+        ).write.mode("append").parquet(bands_path)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(_append_corpus), pool.submit(_append_bands)]
+        for f in futs:
+            f.result()
     return decisions
 
 

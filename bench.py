@@ -217,6 +217,22 @@ def main() -> None:
         "pq_order": "sorted_names",
         "pq": [round(per_query[k], 2) for k in sorted(per_query)],
     }
+    # VERDICT r16 item 1 asked for an inline {name: sec} dict in this
+    # final line so the driver's comparer can parse per-query times.
+    # That is arithmetically impossible for the full catalog: the
+    # driver's recorded stdout tail is 2000 chars (BENCH_r05–r09 all
+    # show parsed:null whenever the last line outgrew it), and the 180
+    # query NAMES alone total 2280 chars before a single number — so
+    # the compact positional "pq" array (fits at ~1.3 KB) plus the
+    # committed full artifact stays the full-catalog contract. When
+    # the dict DOES fit (subset runs via --only, small catalogs), emit
+    # it inline as asked — additions-only, nothing else changes.
+    with_queries = dict(tail_line)
+    with_queries["queries"] = {
+        k: round(v, 2) for k, v in sorted(per_query.items())
+    }
+    if len(json.dumps(with_queries)) <= 1900:
+        tail_line = with_queries
     if len(json.dumps(tail_line)) > 1900:
         del tail_line["pq"], tail_line["pq_order"]
     print(json.dumps(tail_line))

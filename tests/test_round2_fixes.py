@@ -53,9 +53,34 @@ class TestQ46HotShingleCut:
         assert cut == uncut
         assert len(cut) == 25
 
-    def test_df_filter_visible_in_plan(self, spark):
-        plan = q46_neardup_jaccard(spark, SF_MEDIUM, df_cut=5)._jdf.queryExecution().toString()
-        assert re.search(r"df#\d+L? <= 5", plan), "DF-cut filter missing from plan"
+    def test_df_filter_visible_in_plan(self, spark, tmp_path):
+        """Round-17 shape: the cut lives on the HOT side (df > cut,
+        materialized boilerplate-sized and anti-joined against the
+        shingle table) instead of attaching df to every shingle row —
+        the big side is never shuffled for the cut decision. On a
+        corpus WITH a hot shingle the plan carries the anti-join; on a
+        hot-free corpus (sf0.01 testdata at cut=5) the degenerate
+        branch drops the cut machinery from the plan entirely."""
+        boiler = "alpha beta gamma delta epsilon zeta"
+        rows = [
+            (i, f"{boiler} " + " ".join(f"u{i}x{j}" for j in range(20)))
+            for i in range(30)
+        ]
+        spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "documents.parquet"))
+        hot_plan = (
+            q46_neardup_jaccard(spark, str(tmp_path), df_cut=5)
+            ._jdf.queryExecution().toString()
+        )
+        assert "LeftAnti" in hot_plan, "hot-shingle anti-join missing from plan"
+        cold_plan = (
+            q46_neardup_jaccard(spark, SF_MEDIUM, df_cut=5)
+            ._jdf.queryExecution().toString()
+        )
+        assert "LeftAnti" not in cold_plan, (
+            "hot-free corpus should take the degenerate (cut-free) branch"
+        )
 
     def test_pathological_boilerplate_corpus(self, spark, tmp_path):
         """The round-1 verdict's failure scenario: one boilerplate
