@@ -124,15 +124,14 @@ def r23_pagerank(
         pairs.select(cnode.alias("src"), snode.alias("dst"))
         .unionAll(pairs.select(snode.alias("src"), cnode.alias("dst")))
         # consumed once per superstep: materialize the join pipeline
-        # once (the q74/r18 localCheckpoint discipline). Key-partition
-        # on dst first (round-16, guide §2.3): the superstep join
-        # streams edges against the broadcast rank state, so the only
-        # per-superstep shuffle is the contribution groupBy(dst) — with
-        # every dst clustered in one partition, map-side partial
-        # aggregation collapses the shuffle to node-sized output
-        # (measured ~17% off the 5-superstep loop at sf0.1, ranks
-        # identical).
-        .repartition("dst")
+        # once (the q74/r18 localCheckpoint discipline). A round-16
+        # repartition("dst") before this checkpoint (map-side partial
+        # aggregation for the per-superstep groupBy(dst)) was REVERTED
+        # in round 17: cold min-of-2 A/B pairs measured it a tie at
+        # sf0.1 (3.66 vs 3.65 s) and a small loss at sf1 (11.33/11.35
+        # vs 10.94/11.40 s) — the upfront full shuffle of the edge
+        # table never pays for itself, confirming the driver's r16
+        # measurement (0.92x).
         .localCheckpoint(eager=True)
     )
     deg = (
@@ -237,15 +236,14 @@ def r52_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         pairs.select(cnode.alias("src"), snode.alias("dst"))
         .unionAll(pairs.select(snode.alias("src"), cnode.alias("dst")))
-        # key-partition the checkpointed edge list once (round-16,
-        # guide §2.4): the union otherwise materializes 2x the distinct
-        # stage's partition count of half-sized slices, and every
-        # superstep's join re-shuffles that layout from scratch;
-        # repartition(src) at the session's shuffle parallelism feeds
-        # each round's src-keyed join a balanced, key-clustered input
-        # (measured: the 5-round loop drops ~30% at sf0.1, output
-        # identical)
-        .repartition("src")
+        # A round-16 repartition("src") before this checkpoint was
+        # REVERTED in round 17: cold min-of-2 A/B pairs measured the
+        # plain checkpoint FASTER at sf1 (11.29/12.99 vs 14.36/19.52 s)
+        # and only ~0.15 s slower at sf0.1 — the superstep's
+        # shuffle-hash join re-exchanges the edges each round
+        # regardless, so the upfront full shuffle of the edge table
+        # buys nothing, confirming the driver's r16 measurement
+        # (0.87x).
         .localCheckpoint(eager=True)  # consumed once per superstep
     )
     # nodes feeds dist exactly once — dist's own eager checkpoint below

@@ -503,18 +503,37 @@ def q51_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", *[F.element_at("ws", F.col("i") + k + 1) for k in range(3)]
         ).alias("shingle"),
     ).withColumn("h", _shingle_hash64(F.col("shingle")))
-    # per-bit ±1 vote per doc; sign of the vote = fingerprint bit
+    # Packed per-bit vote aggregation (round-17, guide §2.3 narrower
+    # types / VERDICT r16 item 5): instead of 64 separate ±1 vote sums
+    # per row, pack bit-counts into 32 longs of two 32-bit lanes each —
+    # (h >> j) & 0x0000000100000001 drops bits j and j+32 into disjoint
+    # lanes, and summing the packed longs adds the lanes independently.
+    # Halves the per-row aggregation work (32 shift/AND/sum-updates vs
+    # 64 with a branch each). Overflow-safety is PROVABLE, not assumed:
+    # a lane overflows only past 2³² shingles in one document, and a
+    # Spark string column is capped at 2 GiB ⇒ < 2³¹ words ⇒ < 2³¹
+    # 3-shingles per doc. Sign-of-vote ⟺ 2·ones > n (vote = 2·ones − n),
+    # so the fingerprint is bit-identical to the ±1 formulation
+    # (asserted by exceptAll in both directions at sf0.1).
+    _LANES32 = 0x0000000100000001
     votes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
         *[
             F.sum(
-                F.when(F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
-            for b in range(64)
-        ]
+                F.shiftrightunsigned("h", j).bitwiseAND(F.lit(_LANES32))
+            ).alias(f"p{j}")
+            for j in range(32)
+        ],
     )
     fp = None
     for b in range(64):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        ones = F.shiftrightunsigned(
+            F.col(f"p{b % 32}"), 32 * (b // 32)
+        ).bitwiseAND(F.lit(0xFFFFFFFF))
+        bit = (
+            F.when(2 * ones > F.col("n"), F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
         term = F.shiftleft(bit, b)
         fp = term if fp is None else fp.bitwiseXOR(term)  # disjoint bits: XOR == OR == +
     fps = votes.select("doc_id", fp.alias("simhash"))
@@ -1272,17 +1291,48 @@ def r57_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed_df = spark.createDataFrame(
         [(v, i) for i, v in enumerate(seed_ids)], "vec_id bigint, cid int"
     )
-    c = (
-        e.join(F.broadcast(seed_df), "vec_id")
-        .select("cid", "dim", F.col("x").alias("c"))
+    # Round-17 (guide §2.3 — shuffle/aggregate fewer rows): the
+    # distance step used to explode every (vec, dim, centroid) triple
+    # through a join on "dim" — vectors × k × 64 rows into a
+    # (vec_id, cid) hash aggregate. Vectors and centroids are now
+    # carried as DECIMAL(12,6) ARRAYS and the squared distance is one
+    # JVM higher-order expression per (vec, centroid) pair
+    # (zip_with + aggregate), so the assignment stage materializes
+    # vectors × k rows — 64× fewer — with no shuffle before the argmin.
+    # Exactness: the accumulator is DECIMAL(26,12); each (a−b)² is an
+    # exact scale-12 rational with |Σ| bounded by 4·64 « 10¹⁴, so no
+    # rounding ever occurs and the per-pair sums (and argmin, and the
+    # inertia built from them) are value-identical to the exploded
+    # form — asserted by exceptAll on (vec_id, cid, dist) at sf0.1.
+    # The per-dim layout the centroid RECOMPUTE needs is derived from
+    # the k-row array table by posexplode (k×64 rows, trivial).
+    ev = (
+        emb.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding,"
+                " v -> cast(cast(v as double) as decimal(12,6)))"
+            ).alias("xs"),
+        )
+        .localCheckpoint(eager=True)  # consumed once per round
+    )
+    _SQDIST = (
+        "aggregate(zip_with(xs, cs, (a,b) -> (a-b)*(a-b)),"
+        " cast(0 as decimal(26,12)),"
+        " (acc,v) -> cast(acc + v as decimal(26,12)))"
+    )
+    cent = (
+        ev.join(F.broadcast(seed_df), "vec_id")
+        .select("cid", F.col("xs").alias("cs"))
         .localCheckpoint(eager=True)
     )
     assign = None
     for _ in range(_KM_ITERS):
-        d = (
-            e.join(F.broadcast(c), "dim")
-            .groupBy("vec_id", "cid")
-            .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dist"))
+        c = cent.select(
+            "cid", F.posexplode("cs").alias("dim", "c")
+        )
+        d = ev.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "cid", F.expr(_SQDIST).alias("dist")
         )
         # no per-round assign checkpoint (round-16): the round's lineage
         # is already truncated by the c checkpoint below — assign sits
@@ -1300,7 +1350,7 @@ def r57_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("m.dist").alias("dist"),
             )
         )
-        c = (
+        new_c = (
             assign.join(e, "vec_id")
             .groupBy("cid", "dim")
             .agg(
@@ -1310,13 +1360,31 @@ def r57_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("decimal(12,6)")
                 .alias("c")
             )
+        )
+        # re-pack the per-dim means into the k-row array form the next
+        # round's distance expression consumes; the checkpoint here is
+        # the same per-round lineage truncation as before, now over k
+        # rows instead of k×64
+        cent = (
+            new_c.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("ps"))
+            .select("cid", F.expr("transform(ps, p -> p.c)").alias("cs"))
             .localCheckpoint(eager=True)
         )
     n = assign.groupBy("cid").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
         F.sum("dist").alias("inertia"),
     )
-    l1 = c.groupBy("cid").agg(F.sum(F.abs(F.col("c"))).alias("l1"))
+    # Σ|c| over the 64 dims of each centroid array — decimal-exact
+    # (values < 10⁸ against a DECIMAL(26,6) accumulator), same values
+    # as the old per-dim groupBy sum
+    l1 = cent.select(
+        "cid",
+        F.expr(
+            "aggregate(cs, cast(0 as decimal(26,6)),"
+            " (acc,v) -> cast(acc + abs(v) as decimal(26,6)))"
+        ).alias("l1"),
+    )
     return (
         n.join(l1, "cid")
         .select(

@@ -973,15 +973,15 @@ _MB_MIN_SUPPORT = 3
 )
 def r16_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
-    # materialize the distinct basket once (round-16): it feeds FOUR
-    # consumers — the order-count scalar, the per-part counts, and both
-    # sides of the pair self-join — and only the self-join's exchange
-    # reuse deduplicated any of them before
-    li = (
-        lineitem.select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # The round-16 eager localCheckpoint of this distinct basket (it
+    # feeds four consumers) was REVERTED in round 17: cold min-of-2
+    # A/B pairs measured the checkpoint-free form equal at sf0.1
+    # (2.05 vs 2.05 s) and FASTER at sf1 (4.88/5.45 vs 5.78/6.40 s) —
+    # exchange reuse already deduplicates the distinct stage across
+    # the self-join's two sides, so the checkpoint's extra
+    # materialization job never pays, confirming the driver's r16
+    # measurement (0.88x).
+    li = lineitem.select("l_orderkey", "l_partkey").distinct()
     n_orders = li.select("l_orderkey").distinct().count()  # scalar dimension
     pc = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
     a = li.alias("a")

@@ -31,6 +31,8 @@ from datetime import datetime
 
 import pytest
 from hypothesis import HealthCheck, given, settings
+
+from tests.conftest import prop_examples
 from hypothesis import strategies as st
 
 from batch_processing_system_spark.pipeline import run as run_module
@@ -92,7 +94,7 @@ INVALID_CONTENT = json.dumps({"score": 2.0})  # missing required key
 
 class TestErrorMatrixProperties:
     @settings(
-        max_examples=15,
+        max_examples=prop_examples(15),
         deadline=None,
         suppress_health_check=[
             HealthCheck.too_slow,

@@ -13,6 +13,8 @@ from __future__ import annotations
 from datetime import datetime, timedelta
 
 from hypothesis import HealthCheck, given, settings, strategies as st
+
+from tests.conftest import prop_examples
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -30,7 +32,7 @@ events_strategy = st.lists(
 )
 
 PROP_SETTINGS = settings(
-    max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+    max_examples=prop_examples(12), deadline=None, suppress_health_check=[HealthCheck.too_slow]
 )
 
 

@@ -18,6 +18,8 @@ import datetime
 import duckdb
 import pytest
 from hypothesis import given, settings
+
+from tests.conftest import prop_examples
 from hypothesis import strategies as st
 
 from batch_processing_system_spark.queries import REGISTRY, _ensure_loaded
@@ -140,14 +142,14 @@ def _gen_events_rolling(spark, tmp, data):
 
 class TestRandomOracle:
     @given(data=st.data())
-    @settings(max_examples=8, deadline=None)
+    @settings(max_examples=prop_examples(8), deadline=None)
     def test_custdist_random(self, spark, tmp_path_factory, data):
         tmp = tmp_path_factory.mktemp("rnd")
         _gen_custdist(spark, tmp, data)
         _check(spark, tmp, "r36_custdist")
 
     @given(data=st.data())
-    @settings(max_examples=8, deadline=None)
+    @settings(max_examples=prop_examples(8), deadline=None)
     def test_min_cost_supplier_ties(self, spark, tmp_path_factory, data):
         tmp = tmp_path_factory.mktemp("rnd")
         n_sup = data.draw(st.integers(1, 6))
@@ -187,7 +189,7 @@ class TestRandomOracle:
         _check(spark, tmp, "r41_min_cost_supplier")
 
     @given(data=st.data())
-    @settings(max_examples=8, deadline=None)
+    @settings(max_examples=prop_examples(8), deadline=None)
     def test_sole_latest_supplier_date_ties(self, spark, tmp_path_factory, data):
         tmp = tmp_path_factory.mktemp("rnd")
         n_sup = data.draw(st.integers(1, 4))
@@ -218,14 +220,14 @@ class TestRandomOracle:
         _check(spark, tmp, "r42_sole_latest_supplier")
 
     @given(data=st.data())
-    @settings(max_examples=8, deadline=None)
+    @settings(max_examples=prop_examples(8), deadline=None)
     def test_rolling_median_tie_values(self, spark, tmp_path_factory, data):
         tmp = tmp_path_factory.mktemp("rnd")
         _gen_events_rolling(spark, tmp, data)
         _check(spark, tmp, "r44_rolling_median")
 
     @given(data=st.data())
-    @settings(max_examples=6, deadline=None)
+    @settings(max_examples=prop_examples(6), deadline=None)
     def test_equidepth_small_n(self, spark, tmp_path_factory, data):
         # n smaller than the bucket count is the formula's edge zone
         tmp = tmp_path_factory.mktemp("rnd")
@@ -258,14 +260,14 @@ class TestRandomOracleRouted:
     fails the DuckDB comparison here."""
 
     @given(data=st.data())
-    @settings(max_examples=4, deadline=None)
+    @settings(max_examples=prop_examples(4), deadline=None)
     def test_custdist_random_routed(self, spark, tmp_path_factory, data):
         tmp = tmp_path_factory.mktemp("rnd_routed")
         _gen_custdist(spark, tmp, data)
         _check_routed(spark, tmp, "r36_custdist", tmp_path_factory.mktemp("wh"))
 
     @given(data=st.data())
-    @settings(max_examples=4, deadline=None)
+    @settings(max_examples=prop_examples(4), deadline=None)
     def test_rolling_median_routed(self, spark, tmp_path_factory, data):
         tmp = tmp_path_factory.mktemp("rnd_routed")
         _gen_events_rolling(spark, tmp, data)

@@ -11,6 +11,8 @@ import datetime as dt
 from collections import defaultdict
 
 from hypothesis import given, settings
+
+from tests.conftest import prop_examples
 from hypothesis import strategies as st
 
 EVENT_SCHEMA = (
@@ -81,7 +83,7 @@ class TestGapfillProperty:
         return out
 
     @given(raw=events_strategy)
-    @settings(max_examples=12, deadline=None)
+    @settings(max_examples=prop_examples(12), deadline=None)
     def test_matches_reference(self, spark, tmp_path_factory, raw):
         from batch_processing_system_spark.queries.wrangling import r01_gapfill
 
@@ -116,7 +118,7 @@ class TestScd2Property:
         return out
 
     @given(raw=events_strategy)
-    @settings(max_examples=12, deadline=None)
+    @settings(max_examples=prop_examples(12), deadline=None)
     def test_matches_reference(self, spark, tmp_path_factory, raw):
         from batch_processing_system_spark.queries.wrangling import r04_scd2
 
@@ -130,7 +132,7 @@ class TestScd2Property:
         assert got == self._reference(rows)
 
     @given(raw=events_strategy)
-    @settings(max_examples=12, deadline=None)
+    @settings(max_examples=prop_examples(12), deadline=None)
     def test_intervals_tile_the_timeline(self, spark, tmp_path_factory, raw):
         """Structural invariant: per user, intervals are disjoint,
         adjacent (each valid_to equals the next valid_from), and
@@ -176,7 +178,7 @@ class TestAttributionProperty:
         return out
 
     @given(raw=events_strategy)
-    @settings(max_examples=12, deadline=None)
+    @settings(max_examples=prop_examples(12), deadline=None)
     def test_matches_reference(self, spark, tmp_path_factory, raw):
         from batch_processing_system_spark.queries.wrangling import r06_attribution
 
@@ -211,7 +213,7 @@ class TestIntervalMergeProperty:
         return out
 
     @given(raw=events_strategy)
-    @settings(max_examples=12, deadline=None)
+    @settings(max_examples=prop_examples(12), deadline=None)
     def test_matches_reference(self, spark, tmp_path_factory, raw):
         from batch_processing_system_spark.queries.wrangling import r19_interval_merge
 
