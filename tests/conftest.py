@@ -31,6 +31,15 @@ def prop_examples(n: int) -> int:
 
 @pytest.fixture(scope="session")
 def spark():
+    # Round-17 suite-time measurement: the tests' jobs are tiny (rows,
+    # not gigabytes), so a 32-thread local master pays pure scheduling
+    # and task-launch overhead — local[*] vs local[8] measured 73 s vs
+    # 39 s on the same two test files, A/B/A. Default the TEST session
+    # to 8 executor threads (matching its shuffle_partitions=8);
+    # setdefault keeps any externally-set SPARK_GRAFT_CPUS in charge,
+    # and bench/oracle surfaces are untouched (they build their own
+    # sessions).
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     s = get_spark("tests", shuffle_partitions=8)
     yield s
 
