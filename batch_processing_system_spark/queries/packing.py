@@ -182,6 +182,24 @@ def screened_grams(
     rows to the SAME key for the join-back, so the distribution is
     identical either way — and the screen's whole point is that those
     hot rows are then dropped before any join can amplify them."""
+    # Round-17 degenerate branch (the q46 hot-set discipline): when NO
+    # gram is hot (df ≤ cut everywhere — every high-entropy corpus and
+    # every test SF), the screen's filter passes each row regardless of
+    # rn, so kept == grams and BOTH windows (a gram-keyed count window
+    # and a doc-keyed sort window over the full gram table) can be
+    # skipped for the price of one partial-aggregated df scan. When a
+    # hot gram exists, the flat two-window form below runs unchanged —
+    # its restructured (rare/needy split) variant was measured SLOWER
+    # at sf0.1 and stays rejected; this branch adds only the scan, not
+    # the split.
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cut)
+        .localCheckpoint(eager=True)
+    )
+    if hot.isEmpty():
+        return grams.select(doc_col, "gram")
     per_gram = Window.partitionBy("gram")
     per_doc = Window.partitionBy(doc_col).orderBy("df", "gram")
     return (
@@ -364,21 +382,33 @@ def q80_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q94_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     grams = distinct_word_ngrams(docs, 8)
-    dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    per = (
-        grams.join(dfreq, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            F.sum((F.col("df") == 1).cast("long")).cast("bigint").alias("n_novel"),
-        )
+    # Round-17 (guide §2.3 — aggregate instead of join): a NOVEL gram
+    # (df == 1) has exactly ONE (doc_id, gram) row, so min(doc_id) of
+    # its group IS the owning document — the per-doc novel count falls
+    # out of the same gram-keyed aggregation that used to only compute
+    # df, and the old gram-sized `grams ⋈ dfreq` join (a second full
+    # shuffle of the gram table, then a third for the doc rollup)
+    # disappears. Two gram-sized partial-aggregated shuffles plus one
+    # doc-sized join replace three gram-sized stages; output identical
+    # (min over a single-row group is that row, exact integer counts).
+    per_doc = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
     )
-    return per.select(
+    novel = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("df") == 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
+    return per_doc.join(novel, "doc_id", "left").select(
         "doc_id",
         "n_grams",
-        "n_novel",
+        F.coalesce("n_novel", F.lit(0).cast("bigint")).alias("n_novel"),
         F.round(
-            F.col("n_novel").cast("double") / F.col("n_grams"), 4
+            F.coalesce("n_novel", F.lit(0).cast("bigint")).cast("double")
+            / F.col("n_grams"),
+            4,
         ).alias("novelty"),
     )
 
